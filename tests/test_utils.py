@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+from treemorph_tpu.utils import (
+    EarlyStopper,
+    fit_circle_2d,
+    fit_power_law,
+    generate_log_bins,
+    load_cloud,
+    save_cloud,
+)
+
+
+class TestIO:
+    def test_npy_roundtrip(self, tmp_path, rng):
+        cloud = rng.normal(size=(100, 11)).astype(np.float32)
+        path = save_cloud(cloud, str(tmp_path / "cloud"), "npy")
+        loaded = load_cloud(path)
+        assert loaded.shape == (100, 3)
+        np.testing.assert_allclose(loaded, cloud[:, :3], rtol=1e-6)
+        full = load_cloud(path, all_columns=True)
+        assert full.shape == (100, 11)
+
+    def test_txt_roundtrip(self, tmp_path, rng):
+        cloud = rng.normal(size=(50, 3)).astype(np.float32)
+        path = save_cloud(cloud, str(tmp_path / "cloud"), "txt")
+        loaded = load_cloud(path)
+        np.testing.assert_allclose(loaded, cloud, atol=1e-5)
+
+    def test_laz_roundtrip(self, tmp_path, rng):
+        cloud = (rng.normal(size=(50, 3)) * 10).astype(np.float32)
+        path = save_cloud(cloud, str(tmp_path / "cloud"), "laz")
+        loaded = load_cloud(path)
+        assert loaded is not None
+        np.testing.assert_allclose(loaded, cloud, atol=1e-2)
+
+    def test_missing_file(self, tmp_path):
+        assert load_cloud(str(tmp_path / "nope.npy")) is None
+
+    def test_unsupported_extension(self, tmp_path):
+        p = tmp_path / "cloud.xyz"
+        p.write_text("1 2 3")
+        assert load_cloud(str(p)) is None
+
+
+class TestFitting:
+    def test_power_law_recovery(self, rng):
+        a_true, b_true = 2.5, 0.7
+        x = np.logspace(-3, 1, 200)
+        y = a_true * x**b_true
+        _, _, a, b, a_err, b_err = fit_power_law(x, y)
+        assert a == pytest.approx(a_true, rel=1e-3)
+        assert b == pytest.approx(b_true, rel=1e-3)
+
+    def test_log_bins_cover_range(self):
+        bins = generate_log_bins(0.015, 3.7)
+        assert bins[0] <= 0.015
+        assert bins[-1] >= 3.7
+        assert np.all(np.diff(bins) > 0)
+
+    def test_circle_fit_exact(self, rng):
+        center = np.array([1.5, -2.0])
+        radius = 0.8
+        theta = rng.uniform(0, 2 * np.pi, 100)
+        pts = center + radius * np.stack([np.cos(theta), np.sin(theta)], 1)
+        c, r = fit_circle_2d(pts)
+        np.testing.assert_allclose(c, center, atol=1e-6)
+        assert r == pytest.approx(radius, abs=1e-6)
+
+    def test_circle_fit_degenerate(self):
+        c, r = fit_circle_2d(np.zeros((2, 2)))
+        assert np.all(np.isnan(c)) and np.isnan(r)
+
+
+class TestEarlyStopper:
+    def test_stops_after_patience(self):
+        saved = []
+        stopper = EarlyStopper(patience=3, save_fn=saved.append)
+        stopper("s0", 1.0, 1.0)
+        assert saved == ["s0"]
+        for i in range(3):
+            stopper(f"s{i + 1}", 1.0, 2.0)  # no improvement
+        assert stopper.early_stop
+        assert saved == ["s0"]
+        assert stopper.get_scores() == (1.0, 1.0)
+
+    def test_improvement_resets_counter(self):
+        stopper = EarlyStopper(patience=2)
+        stopper(None, 1.0, 1.0)
+        stopper(None, 1.0, 2.0)
+        stopper(None, 0.9, 0.5)
+        assert stopper.counter == 0
+        assert not stopper.early_stop

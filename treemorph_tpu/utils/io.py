@@ -1,0 +1,122 @@
+"""Host-side point-cloud IO.
+
+Behavioral parity with the reference loader/saver
+(``/root/reference/Modules/Utils.py:190-296``): ``.npy``, ``.txt`` (space or
+comma separated), ``.las``/``.laz`` via laspy, always standardized to float32.
+IO is a host concern — arrays returned here are fed to the device through the
+padded batching layer in :mod:`treemorph_tpu.data`.
+
+The de-facto labeled-cloud wire format (reference
+``PreProcessing/LabelGenerationCuda.py:194-205``) is a float ``(N, 11)`` array:
+
+    col 0:3   x, y, z
+    col 3:6   offset vector to the nearest QSM cylinder surface
+    col 6     nearest cylinder id
+    col 7:11  features (normal nx, ny, nz + relative height)
+
+``LABELED_COLUMNS`` documents that layout for the rest of the framework.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+LABELED_COLUMNS = {
+    "xyz": slice(0, 3),
+    "offset": slice(3, 6),
+    "cylinder_id": 6,
+    "features": slice(7, 11),
+}
+
+try:
+    import laspy
+
+    HAS_LASPY = True
+except ImportError:  # pragma: no cover - laspy is in the image
+    HAS_LASPY = False
+
+
+def load_cloud(path: str, all_columns: bool = False) -> np.ndarray | None:
+    """Load a point cloud from ``.npy``/``.txt``/``.las``/``.laz``.
+
+    Returns the XYZ columns as float32 ``(N, 3)`` by default; with
+    ``all_columns=True`` returns every column (e.g. the full labeled format).
+    Returns ``None`` on failure, mirroring the reference's tolerant loader
+    (``Modules/Utils.py:190-250``).
+    """
+    ext = os.path.splitext(path)[1].lower()
+    try:
+        if ext == ".npy":
+            data = np.load(path)
+            if data.ndim == 1:
+                if data.size % 3 != 0:
+                    return None
+                data = data.reshape(-1, 3)
+        elif ext == ".txt":
+            data = None
+            for delim in (" ", ","):
+                try:
+                    data = np.loadtxt(path, delimiter=delim)
+                    break
+                except ValueError:
+                    continue
+            if data is None:
+                return None
+            if data.ndim == 1:
+                data = data.reshape(1, -1)
+        elif ext in (".las", ".laz"):
+            if not HAS_LASPY:
+                return None
+            with laspy.open(path) as f:
+                las = f.read()
+                data = np.stack([las.x, las.y, las.z], axis=1)
+        else:
+            return None
+    except (OSError, ValueError):
+        return None
+
+    if data.ndim != 2 or data.shape[1] < 3:
+        return None
+    if all_columns:
+        return data.astype(np.float32)
+    return data[:, :3].astype(np.float32)
+
+
+def save_cloud(data: np.ndarray, path: str, save_type: str = "npy") -> str | None:
+    """Save a point cloud as ``npy``, ``txt``, or ``laz``.
+
+    Mirrors reference ``Modules/Utils.py:252-296``. Returns the path written,
+    or ``None`` if ``data`` was empty.
+    """
+    if data is None or len(data) == 0:
+        return None
+    directory = os.path.dirname(path)
+    if directory:
+        os.makedirs(directory, exist_ok=True)
+    expected = "." + save_type
+    if not path.lower().endswith(expected):
+        path += expected
+
+    if save_type == "npy":
+        np.save(path, data)
+    elif save_type == "txt":
+        np.savetxt(path, data, fmt="%.6f")
+    elif save_type == "laz":
+        if not HAS_LASPY:
+            path = os.path.splitext(path)[0] + ".txt"
+            np.savetxt(path, data, fmt="%.6f")
+            return path
+        header = laspy.LasHeader(point_format=3, version="1.4")
+        header.scales = np.array([0.001, 0.001, 0.001])
+        header.offsets = np.min(data[:, :3], axis=0)
+        las = laspy.LasData(header)
+        las.x = data[:, 0]
+        las.y = data[:, 1]
+        las.z = data[:, 2]
+        las.write(path)
+    else:
+        path = os.path.splitext(path)[0] + ".npy"
+        np.save(path, data)
+    return path
