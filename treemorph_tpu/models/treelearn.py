@@ -1,0 +1,331 @@
+"""TreeLearn: submanifold sparse U-Net with offset/semantic heads, in flax.
+
+Capability parity with the reference model
+(``/root/reference/Modules/TreeLearn/TreeLearn.py`` + ``blocks.py``):
+voxelize -> input submanifold conv -> recursive U-Net (channels i*32,
+stride-2 down / inverse up convs, pairs of residual blocks, skip concat) ->
+BN+ReLU -> per-point unprojection -> MLP heads. The optional separate
+noise-cloud backbone pass (``TreeLearn.py:98-105``) is provided by
+:func:`treelearn_forward_with_noise` at the family-adapter level.
+
+TPU redesign: spconv's rulebook GPU kernels are replaced by the hash-table
+gather/scatter engine in :mod:`treemorph_tpu.ops.sparse`; every resolution
+level builds one rulebook shared by all its submanifold convs (the
+reference's ``indice_key``). BatchNorm is mask-aware because padded voxel
+rows exist (the reference's spconv tensors are exact-sized).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.sparse import (
+    DownsampleMap,
+    build_downsample,
+    build_rulebook,
+    down_conv_apply,
+    inverse_conv_apply,
+    subm_conv_apply,
+)
+from ..ops.voxelize import voxelize_treelearn_features
+from .loss import point_wise_loss
+
+_KERNEL_INIT = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid rows only (padding excluded from statistics).
+
+    torch semantics: momentum 0.1 (new = 0.9 old + 0.1 batch), eps 1e-4
+    (the reference's norm_fn, TreeLearn.py:48).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            w = mask.astype(jnp.float32)[:, None]
+            cnt = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(x * w, axis=0) / cnt
+            var = jnp.sum(jnp.square(x - mean) * w, axis=0) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class SubMConv(nn.Module):
+    """Submanifold conv layer over a precomputed rulebook (no bias)."""
+
+    out_channels: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, feats, rulebook, valid):
+        k = self.kernel_size**3
+        w = self.param(
+            "kernel", _KERNEL_INIT, (k, feats.shape[-1], self.out_channels)
+        )
+        return subm_conv_apply(feats, w, rulebook, valid)
+
+
+class ResidualBlock(nn.Module):
+    """Pre-activation residual pair of submanifold convs
+    (reference TreeLearn/blocks.py:44-81)."""
+
+    out_channels: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, feats, rulebook, valid, train: bool):
+        cin = feats.shape[-1]
+        if cin == self.out_channels:
+            identity = feats
+        else:
+            w = self.param(
+                "shortcut", _KERNEL_INIT, (cin, self.out_channels)
+            )
+            identity = jnp.dot(
+                feats, w, preferred_element_type=jnp.float32
+            )
+
+        x = MaskedBatchNorm()(feats, valid, train)
+        x = nn.relu(x)
+        x = SubMConv(self.out_channels, self.kernel_size)(x, rulebook, valid)
+        x = MaskedBatchNorm()(x, valid, train)
+        x = nn.relu(x)
+        x = SubMConv(self.out_channels, self.kernel_size)(x, rulebook, valid)
+        return x + identity
+
+
+class UBlock(nn.Module):
+    """Recursive U-Net over voxel levels (reference blocks.py:83-151)."""
+
+    n_planes: Sequence[int]
+    block_reps: int = 2
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, train: bool):
+        rulebook = build_rulebook(coords, valid, self.kernel_size)
+
+        x = feats
+        for i in range(self.block_reps):
+            x = ResidualBlock(
+                self.n_planes[0], self.kernel_size, name=f"block{i}"
+            )(x, rulebook, valid, train)
+
+        if len(self.n_planes) > 1:
+            identity = x
+
+            d = MaskedBatchNorm()(x, valid, train)
+            d = nn.relu(d)
+            ds: DownsampleMap = build_downsample(coords, valid)
+            w_down = self.param(
+                "down_kernel",
+                _KERNEL_INIT,
+                (8, self.n_planes[0], self.n_planes[1]),
+            )
+            d = down_conv_apply(d, w_down, ds, valid)
+
+            d = UBlock(
+                self.n_planes[1:],
+                self.block_reps,
+                self.kernel_size,
+                name="u",
+            )(d, ds.coarse_coords, ds.coarse_valid, train)
+
+            u = MaskedBatchNorm()(d, ds.coarse_valid, train)
+            u = nn.relu(u)
+            w_up = self.param(
+                "up_kernel",
+                _KERNEL_INIT,
+                (8, self.n_planes[1], self.n_planes[0]),
+            )
+            u = inverse_conv_apply(u, w_up, ds, valid)
+
+            x = jnp.concatenate([identity, u], axis=-1)
+            for i in range(self.block_reps):
+                x = ResidualBlock(
+                    self.n_planes[0], self.kernel_size, name=f"tail{i}"
+                )(x, rulebook, valid, train)
+        return x
+
+
+class MLPHead(nn.Module):
+    """Linear/BN/ReLU head with a small-variance final layer
+    (reference TreeLearn/blocks.py:10-28)."""
+
+    out_channels: int
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        for _ in range(self.num_layers - 1):
+            x = nn.Dense(
+                x.shape[-1], kernel_init=nn.initializers.xavier_uniform()
+            )(x)
+            x = MaskedBatchNorm()(x, mask, train)
+            x = nn.relu(x)
+        return nn.Dense(
+            self.out_channels,
+            kernel_init=nn.initializers.normal(0.01),
+            bias_init=nn.initializers.zeros,
+        )(x)
+
+
+class TreeLearnBackbone(nn.Module):
+    """Voxelize -> sparse U-Net -> per-point features."""
+
+    channels: int = 32
+    num_blocks: int = 7
+    kernel_size: int = 3
+    use_feats: bool = True
+    use_coords: bool = False
+    voxel_size: float = 0.1
+    batch_size: int = 1  # static batch element count
+
+    @nn.compact
+    def __call__(self, coords, feats, batch_ids, valid, train: bool):
+        vox = voxelize_treelearn_features(
+            coords,
+            feats,
+            batch_ids,
+            valid,
+            self.voxel_size,
+            self.batch_size,
+            use_coords=self.use_coords,
+            use_feats=self.use_feats,
+        )
+        v_coords = vox.voxel_coords
+        v_valid = vox.voxel_valid
+
+        rulebook = build_rulebook(v_coords, v_valid, self.kernel_size)
+        x = SubMConv(self.channels, self.kernel_size, name="input_conv")(
+            vox.voxel_feats, rulebook, v_valid
+        )
+        n_planes = [self.channels * (i + 1) for i in range(self.num_blocks)]
+        x = UBlock(n_planes, 2, self.kernel_size, name="unet")(
+            x, v_coords, v_valid, train
+        )
+        x = MaskedBatchNorm(name="output_norm")(x, v_valid, train)
+        x = nn.relu(x)
+
+        # voxel -> point unprojection (reference forward_head,
+        # TreeLearn.py:132-144)
+        point_feats = x[vox.point_to_voxel] * valid[:, None]
+        return point_feats, vox
+
+
+class TreeLearn(nn.Module):
+    """Sparse U-Net backbone + per-point heads.
+
+    Input is the flat voxel-model layout: (P,) concatenated clouds with
+    batch ids and validity. Returns per-point predictions (padding rows
+    zeroed). When a separate synthetic noise cloud is given, the semantic
+    head reads a second backbone pass over it with shared weights
+    (reference TreeLearn.py:98-105, 137-141).
+    """
+
+    channels: int = 32
+    num_blocks: int = 7
+    kernel_size: int = 3
+    dim_feat: int = 1
+    use_feats: bool = True
+    use_coords: bool = False
+    voxel_size: float = 0.1
+    batch_size: int = 1  # static batch element count
+
+    @nn.compact
+    def __call__(
+        self,
+        coords: jax.Array,  # (P, 3) float32
+        feats: jax.Array,  # (P, F) float32
+        batch_ids: jax.Array,  # (P,) int32
+        valid: jax.Array,  # (P,) bool
+        train: bool = False,
+        noise_coords: jax.Array | None = None,
+        noise_feats: jax.Array | None = None,
+        noise_batch_ids: jax.Array | None = None,
+        noise_valid: jax.Array | None = None,
+    ) -> dict:
+        backbone = TreeLearnBackbone(
+            channels=self.channels,
+            num_blocks=self.num_blocks,
+            kernel_size=self.kernel_size,
+            use_feats=self.use_feats,
+            use_coords=self.use_coords,
+            voxel_size=self.voxel_size,
+            batch_size=self.batch_size,
+            name="backbone",
+        )
+        point_feats, vox = backbone(coords, feats, batch_ids, valid, train)
+
+        semantic_head = MLPHead(2, name="semantic_head")
+        offset_head = MLPHead(3, name="offset_head")
+
+        if noise_coords is not None:
+            noise_point_feats, _ = backbone(
+                noise_coords, noise_feats, noise_batch_ids, noise_valid, train
+            )
+            sem = semantic_head(noise_point_feats, noise_valid, train)
+        else:
+            sem = semantic_head(point_feats, valid, train)
+        off = offset_head(point_feats, valid, train)
+        return {
+            "backbone_feats": point_feats,
+            "semantic_prediction_logits": sem,
+            "offset_predictions": off,
+            "point_to_voxel": vox.point_to_voxel,
+            "num_voxels": vox.num_voxels,
+        }
+
+
+def treelearn_loss(
+    output: dict,
+    flat_batch: dict,
+    loss_multiplier_semantic: float = 1.0,
+    loss_multiplier_offset: float = 1.0,
+    n_points: int | None = None,
+    rng: jax.Array | None = None,
+):
+    """Masked loss over the flat layout (reference TreeLearn.py:147-155)."""
+    sem_loss, off_loss = point_wise_loss(
+        output["semantic_prediction_logits"],
+        output["offset_predictions"],
+        flat_batch["semantic_labels"],
+        flat_batch["offset_labels"],
+        semantic_mask=flat_batch["mask_valid"],
+        offset_mask=flat_batch["mask_valid"] & flat_batch["mask_off"],
+        n_points=n_points,
+        rng=rng,
+    )
+    loss_dict = {
+        "semantic_loss": sem_loss * loss_multiplier_semantic,
+        "offset_loss": off_loss * loss_multiplier_offset,
+    }
+    return sum(loss_dict.values()), loss_dict

@@ -1,0 +1,249 @@
+"""Submanifold sparse 3D convolution engine for TPU.
+
+Replaces spconv (``SubMConv3d`` / ``SparseConv3d`` stride 2 /
+``SparseInverseConv3d``) used by the reference TreeLearn U-Net
+(``/root/reference/Modules/TreeLearn/blocks.py:44-151``) and PTv3's xCPE
+stem. There is no scatter-based GPU rulebook here; the TPU formulation is:
+
+1. **Voxel lookup table**: active voxels (padded to a static M) are hashed
+   with a spatial mix hash and sorted by hash value. Neighbor lookup for any
+   coordinate is a two-probe ``searchsorted`` into the sorted hash array
+   followed by exact coordinate verification over a small static probe
+   window (hash collisions are verified away, never trusted).
+2. **Rulebook**: for each voxel and each kernel offset, the index of the
+   neighbor voxel (or M, a zero pad row). Built once per level per forward
+   and shared by every submanifold conv at that level (the reference's
+   ``indice_key`` reuse).
+3. **Gather-matmul-accumulate**: ``out = sum_k feats[nbr[:, k]] @ W[k]`` as
+   a ``lax.scan`` over kernel offsets — each step is an (M, Cin) x
+   (Cin, Cout) MXU matmul; missing neighbors hit the zero pad row.
+
+Strided down-convolution derives the coarse voxel set with the same
+sort-unique machinery as :mod:`treemorph_tpu.ops.voxelize` and records the
+fine->coarse ``parent`` map plus each fine voxel's child octant, which makes
+the inverse (up) convolution a pure gather — no second rulebook.
+
+All shapes are static; ``valid`` masks thread through every step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+PROBE = 8  # static probe window for hash-collision resolution
+
+
+def _spatial_hash(coords: jax.Array) -> jax.Array:
+    """Mix-hash (b, x, y, z) int32 rows to uint32."""
+    c = coords.astype(jnp.uint32)
+    h = (
+        (c[..., 0] * jnp.uint32(2654435761))
+        ^ (c[..., 1] * jnp.uint32(73856093))
+        ^ (c[..., 2] * jnp.uint32(19349663))
+        ^ (c[..., 3] * jnp.uint32(83492791))
+    )
+    return h
+
+
+class VoxelTable(NamedTuple):
+    """Hash-sorted lookup table over a padded voxel set."""
+
+    coords: jax.Array  # (M, 4) int32 (b, x, y, z)
+    valid: jax.Array  # (M,) bool
+    sorted_hash: jax.Array  # (M,) uint32
+    order: jax.Array  # (M,) int32: position -> voxel index
+
+
+def build_table(coords: jax.Array, valid: jax.Array) -> VoxelTable:
+    h = _spatial_hash(coords)
+    h = jnp.where(valid, h, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(h).astype(jnp.int32)
+    return VoxelTable(
+        coords=coords, valid=valid, sorted_hash=h[order], order=order
+    )
+
+
+def lookup(table: VoxelTable, query_coords: jax.Array) -> jax.Array:
+    """Index of each query coordinate in the table, or -1.
+
+    query_coords: (Q, 4) int32. Returns (Q,) int32.
+    """
+    m = table.coords.shape[0]
+    qh = _spatial_hash(query_coords)
+    start = jnp.searchsorted(table.sorted_hash, qh, side="left")
+
+    found = jnp.full(query_coords.shape[0], -1, jnp.int32)
+    for p in range(PROBE):
+        slot = jnp.clip(start + p, 0, m - 1)
+        cand = table.order[slot]
+        same_hash = table.sorted_hash[slot] == qh
+        match = (
+            same_hash
+            & table.valid[cand]
+            & jnp.all(table.coords[cand] == query_coords, axis=-1)
+        )
+        found = jnp.where((found < 0) & match, cand, found)
+    return found
+
+
+def kernel_offsets(kernel_size: int = 3) -> jnp.ndarray:
+    """(K, 3) integer offsets of a cubic kernel, centered for odd sizes."""
+    r = range(kernel_size)
+    shift = (kernel_size - 1) // 2
+    offs = [
+        (dx - shift, dy - shift, dz - shift)
+        for dx in r
+        for dy in r
+        for dz in r
+    ]
+    return jnp.array(offs, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("kernel_size",))
+def build_rulebook(
+    coords: jax.Array, valid: jax.Array, kernel_size: int = 3
+) -> jax.Array:
+    """(M, K) neighbor indices for a submanifold conv; M marks 'missing'.
+
+    Shared by all convs at one resolution level (the reference's
+    ``indice_key`` mechanism, TreeLearn/blocks.py:59-72).
+    """
+    m = coords.shape[0]
+    table = build_table(coords, valid)
+    offs = kernel_offsets(kernel_size)  # (K, 3)
+
+    def per_offset(off):
+        q = coords.at[:, 1:].add(off[None, :])
+        idx = lookup(table, q)
+        idx = jnp.where(valid & (idx >= 0), idx, m)
+        return idx
+
+    nbr = jax.vmap(per_offset)(offs)  # (K, M)
+    return nbr.T.astype(jnp.int32)  # (M, K)
+
+
+def subm_conv_apply(
+    feats: jax.Array,  # (M, Cin)
+    weights: jax.Array,  # (K, Cin, Cout)
+    rulebook: jax.Array,  # (M, K) with M = missing
+    valid: jax.Array,  # (M,)
+) -> jax.Array:
+    """Submanifold conv: out[i] = sum_k W[k] @ feats[nbr_k(i)].
+
+    lax.scan over kernel offsets keeps peak memory at one (M, Cin) gather
+    while every step is an MXU matmul.
+    """
+    m, cin = feats.shape
+    cout = weights.shape[-1]
+    feats_pad = jnp.concatenate(
+        [feats * valid[:, None], jnp.zeros((1, cin), feats.dtype)], axis=0
+    )
+
+    def step(acc, inp):
+        w_k, nbr_k = inp  # (Cin, Cout), (M,)
+        gathered = feats_pad[nbr_k]  # (M, Cin)
+        return acc + jnp.dot(
+            gathered, w_k, preferred_element_type=jnp.float32
+        ), None
+
+    init = jnp.zeros((m, cout), jnp.float32)
+    out, _ = jax.lax.scan(step, init, (weights, rulebook.T))
+    return out * valid[:, None]
+
+
+class DownsampleMap(NamedTuple):
+    """Fine -> coarse (stride 2) structure."""
+
+    coarse_coords: jax.Array  # (M, 4) int32, padded
+    coarse_valid: jax.Array  # (M,) bool
+    num_coarse: jax.Array  # () int32
+    parent: jax.Array  # (M,) int32: fine voxel -> coarse index
+    child_offset: jax.Array  # (M,) int32 in [0, 8): fine voxel's octant
+
+
+@jax.jit
+def build_downsample(coords: jax.Array, valid: jax.Array) -> DownsampleMap:
+    """Stride-2 coarsening of a voxel set (reference's SparseConv3d k=2 s=2
+    downsample path, TreeLearn/blocks.py:101-112)."""
+    m = coords.shape[0]
+    b = coords[:, 0]
+    fine = coords[:, 1:]
+    coarse = fine >> 1  # floor div 2 (coords are non-negative)
+    octant = ((fine[:, 0] & 1) << 2) | ((fine[:, 1] & 1) << 1) | (
+        fine[:, 2] & 1
+    )
+
+    sort_b = jnp.where(valid, b, jnp.int32(0x7FFFFFF0))
+    perm = jnp.lexsort((coarse[:, 2], coarse[:, 1], coarse[:, 0], sort_b))
+    s_key = jnp.concatenate(
+        [sort_b[perm][:, None], coarse[perm]], axis=1
+    )
+    s_valid = valid[perm]
+    new = jnp.any(s_key[1:] != s_key[:-1], axis=1)
+    new = jnp.concatenate([jnp.array([True]), new])
+    new = jnp.where(s_valid, new, True)
+    s_id = jnp.cumsum(new.astype(jnp.int32)) - 1
+    num_coarse = jnp.where(s_valid, s_id + 1, 0).max().astype(jnp.int32)
+
+    parent = jnp.zeros(m, jnp.int32).at[perm].set(s_id)
+    coarse_b = jax.ops.segment_max(
+        jnp.where(valid, b, -1), parent, num_segments=m
+    )
+    coarse_xyz = jax.ops.segment_max(
+        jnp.where(valid[:, None], coarse, -1), parent, num_segments=m
+    )
+    coarse_coords = jnp.concatenate(
+        [coarse_b[:, None], coarse_xyz], axis=1
+    ).astype(jnp.int32)
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32), parent, num_segments=m
+    )
+    return DownsampleMap(
+        coarse_coords=coarse_coords,
+        coarse_valid=counts > 0,
+        num_coarse=num_coarse,
+        parent=parent,
+        child_offset=octant.astype(jnp.int32),
+    )
+
+
+def down_conv_apply(
+    feats: jax.Array,  # (M, Cin) fine features
+    weights: jax.Array,  # (8, Cin, Cout) one filter per octant
+    ds: DownsampleMap,
+    valid: jax.Array,  # (M,) fine validity
+) -> jax.Array:
+    """Strided (k=2, s=2) conv: coarse[j] = sum_{i: parent(i)=j} W[oct(i)] @ fine[i]."""
+    m = feats.shape[0]
+    w_per_fine = weights[ds.child_offset]  # (M, Cin, Cout)
+    contrib = jnp.einsum(
+        "mc,mcd->md",
+        feats * valid[:, None],
+        w_per_fine,
+        preferred_element_type=jnp.float32,
+    )
+    out = jax.ops.segment_sum(contrib, ds.parent, num_segments=m)
+    return out * ds.coarse_valid[:, None]
+
+
+def inverse_conv_apply(
+    coarse_feats: jax.Array,  # (M, Cin)
+    weights: jax.Array,  # (8, Cin, Cout)
+    ds: DownsampleMap,
+    fine_valid: jax.Array,  # (M,)
+) -> jax.Array:
+    """Inverse of the stride-2 conv (reference SparseInverseConv3d): each
+    fine voxel reads its parent's features through its octant filter."""
+    gathered = coarse_feats[ds.parent]  # (M, Cin)
+    w_per_fine = weights[ds.child_offset]  # (M, Cin, Cout)
+    out = jnp.einsum(
+        "mc,mcd->md",
+        gathered,
+        w_per_fine,
+        preferred_element_type=jnp.float32,
+    )
+    return out * fine_valid[:, None]

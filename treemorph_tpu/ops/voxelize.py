@@ -1,0 +1,163 @@
+"""Static-shape voxelization via sort + segment reduction.
+
+Replaces the reference's spconv ``PointToVoxel`` path
+(``/root/reference/Modules/TreeLearn/TreeLearn.py:160-248``): batched point
+clouds are quantized per batch element against that element's min corner,
+deduplicated into voxels, and per-voxel mean features are computed.
+
+TPU design: there is no dynamic-shape "unique" on device, so the kernel keeps
+the *static* upper bound of N voxels (every point its own voxel) and returns
+a ``num_voxels`` scalar plus a validity mask. Points are sorted by
+(batch, gx, gy, gz) with a stable lexsort; voxel ids are a prefix sum over
+boundary flags; per-voxel means use ``jax.ops.segment_sum``. The
+``point_to_voxel`` map (the reference's ``v2p_map``) indexes voxel features
+back per point for the unprojection in the model head
+(``TreeLearn.py:132-144``).
+
+Deviations from the reference (documented, intentional):
+- per-voxel mean uses *all* points in the voxel, not spconv's first
+  ``max_num_points_per_voxel=10`` with nan-tricks — strictly more accurate.
+- voxel coordinate order is (batch, x, y, z); the reference's ZYX/axis-swap
+  dance is an spconv artifact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+INVALID_BATCH = jnp.int32(0x7FFFFFF0)
+
+
+class VoxelizedCloud(NamedTuple):
+    """Padded voxel set. Arrays are padded to N (the point count)."""
+
+    voxel_feats: jax.Array  # (N, D) float32, voxel means (padding rows zero)
+    voxel_coords: jax.Array  # (N, 4) int32: batch, gx, gy, gz
+    point_to_voxel: jax.Array  # (N,) int32: voxel index of every point
+    num_voxels: jax.Array  # () int32
+    voxel_valid: jax.Array  # (N,) bool
+    grid_min: jax.Array  # (B, 3) float32 per-element min corner
+    spatial_shape: jax.Array  # (3,) int32 max grid extent over the batch
+
+
+@partial(jax.jit, static_argnames=("batch_size",))
+def voxelize(
+    coords: jax.Array,
+    feats: jax.Array,
+    batch_ids: jax.Array,
+    valid: jax.Array,
+    voxel_size: float | jax.Array,
+    batch_size: int,
+) -> VoxelizedCloud:
+    """Voxelize a flat-concatenated batch of clouds.
+
+    Args:
+        coords: (N, 3) float32 point positions.
+        feats: (N, D) float32 per-point features to be voxel-averaged.
+        batch_ids: (N,) int32 batch element of each point.
+        valid: (N,) bool, False for padding points.
+        voxel_size: edge length of the cubic voxels.
+        batch_size: static number of batch elements.
+
+    Returns a :class:`VoxelizedCloud`; invalid points map to trailing padding
+    voxels (``point_to_voxel`` is still in-range so gathers are safe).
+    """
+    n = coords.shape[0]
+    batch_ids = jnp.where(valid, batch_ids.astype(jnp.int32), INVALID_BATCH)
+
+    # Per-batch-element min corner (parity with the reference's per-element
+    # coors_range, TreeLearn.py:190-191).
+    big = jnp.float32(3.4e38)
+    safe_coords = jnp.where(valid[:, None], coords, big)
+    seg_ids = jnp.where(valid, batch_ids, batch_size)  # pad -> segment B
+    grid_min = jax.ops.segment_min(
+        safe_coords, seg_ids, num_segments=batch_size + 1
+    )[:batch_size]
+    grid_min = jnp.where(jnp.isfinite(grid_min), grid_min, 0.0)
+
+    mins = grid_min[jnp.clip(batch_ids, 0, batch_size - 1)]
+    grid = jnp.floor((coords - mins) / voxel_size).astype(jnp.int32)
+    grid = jnp.maximum(grid, 0)
+    grid = jnp.where(valid[:, None], grid, 0)
+
+    # Stable sort by (batch, gx, gy, gz); padding sorts last via batch id.
+    perm = jnp.lexsort((grid[:, 2], grid[:, 1], grid[:, 0], batch_ids))
+    s_batch = batch_ids[perm]
+    s_grid = grid[perm]
+    s_valid = valid[perm]
+
+    key_cols = jnp.concatenate([s_batch[:, None], s_grid], axis=1)  # (N, 4)
+    new_voxel = jnp.any(key_cols[1:] != key_cols[:-1], axis=1)
+    new_voxel = jnp.concatenate([jnp.array([True]), new_voxel])
+    # every invalid point gets its own trailing voxel; simplest is to mark
+    # each invalid row a boundary so ids stay monotone
+    new_voxel = jnp.where(s_valid, new_voxel, True)
+    s_voxel_id = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
+
+    num_voxels = jnp.where(s_valid, s_voxel_id + 1, 0).max()
+
+    # Scatter voxel ids back to original point order.
+    point_to_voxel = jnp.zeros(n, jnp.int32).at[perm].set(s_voxel_id)
+
+    # Per-voxel mean features and representative coordinates.
+    weights = valid.astype(jnp.float32)
+    sums = jax.ops.segment_sum(
+        feats * weights[:, None], point_to_voxel, num_segments=n
+    )
+    counts = jax.ops.segment_sum(weights, point_to_voxel, num_segments=n)
+    voxel_feats = sums / jnp.maximum(counts, 1.0)[:, None]
+
+    voxel_batch = jax.ops.segment_max(
+        jnp.where(valid, batch_ids, -1), point_to_voxel, num_segments=n
+    )
+    voxel_grid = jax.ops.segment_max(
+        jnp.where(valid[:, None], grid, -1), point_to_voxel, num_segments=n
+    )
+    voxel_coords = jnp.concatenate(
+        [voxel_batch[:, None], voxel_grid], axis=1
+    ).astype(jnp.int32)
+
+    voxel_valid = counts > 0
+    spatial_shape = (
+        jnp.max(jnp.where(valid[:, None], grid, 0), axis=0) + 1
+    ).astype(jnp.int32)
+
+    return VoxelizedCloud(
+        voxel_feats=voxel_feats,
+        voxel_coords=voxel_coords,
+        point_to_voxel=point_to_voxel,
+        num_voxels=num_voxels.astype(jnp.int32),
+        voxel_valid=voxel_valid,
+        grid_min=grid_min,
+        spatial_shape=spatial_shape,
+    )
+
+
+def voxelize_treelearn_features(
+    coords: jax.Array,
+    feats: jax.Array,
+    batch_ids: jax.Array,
+    valid: jax.Array,
+    voxel_size: float,
+    batch_size: int,
+    use_coords: bool = False,
+    use_feats: bool = True,
+) -> VoxelizedCloud:
+    """TreeLearn-flavored voxel features: [feats..., coords] layout.
+
+    Parity with reference ``TreeLearn.py:221-225``: voxel-mean of
+    ``[coords, feats]``, with either half replaced by ones when unused, then
+    reordered to features-first.
+    """
+    stacked = jnp.concatenate([coords, feats], axis=1)
+    out = voxelize(coords, stacked, batch_ids, valid, voxel_size, batch_size)
+    vf = out.voxel_feats
+    coord_part = vf[:, :3] if use_coords else jnp.ones_like(vf[:, :3])
+    feat_part = vf[:, 3:] if use_feats else jnp.ones_like(vf[:, 3:])
+    return out._replace(
+        voxel_feats=jnp.concatenate([feat_part, coord_part], axis=1)
+    )

@@ -1,0 +1,141 @@
+"""Model-family adapters: uniform (forward_fn, loss_fn) pairs for the harness.
+
+The reference exposes a uniform model API — ``model(batch, return_loss)``
+returning either ``(loss, loss_dict)`` or a prediction dict (SURVEY.md §1
+L3). Here that uniformity lives in small adapter functions so the harness
+stays model-agnostic and purely functional.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+
+import jax.numpy as jnp
+
+from ..models.pointnet2 import PointNet2, pointnet2_loss
+from ..models.treelearn import TreeLearn, treelearn_loss
+
+
+def pointnet2_family(
+    model: PointNet2,
+    loss_multiplier_semantic: float = 1.0,
+    loss_multiplier_offset: float = 1.0,
+) -> tuple[Callable, Callable]:
+    """(forward_fn, loss_fn) for the harness, PointNet2 flavor."""
+
+    def forward_fn(params, batch_stats, batch, train, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mutated = model.apply(
+                variables,
+                batch.coords,
+                batch.feats,
+                batch.mask_valid,
+                train=True,
+                fps_rng=rng,
+                mutable=["batch_stats"],
+            )
+            return out, mutated["batch_stats"]
+        out = model.apply(
+            variables,
+            batch.coords,
+            batch.feats,
+            batch.mask_valid,
+            train=False,
+        )
+        return out, batch_stats
+
+    def loss_fn(output, batch):
+        return pointnet2_loss(
+            output,
+            batch,
+            loss_multiplier_semantic=loss_multiplier_semantic,
+            loss_multiplier_offset=loss_multiplier_offset,
+        )
+
+    return forward_fn, loss_fn
+
+
+def init_pointnet2(model: PointNet2, example_batch, rng: jax.Array):
+    # jit the init: eager op-by-op dispatch is pathologically slow in some
+    # sandboxes, and init is a pure function anyway.
+    init = jax.jit(lambda r, c, f, v: model.init(r, c, f, v, train=False))
+    return init(
+        rng,
+        jnp.asarray(example_batch.coords),
+        jnp.asarray(example_batch.feats),
+        jnp.asarray(example_batch.mask_valid),
+    )
+
+
+def _flatten_padded(batch):
+    """PaddedBatch -> flat voxel-model arrays, inside jit (reshape is free)."""
+    b, n = batch.coords.shape[:2]
+    batch_ids = jnp.repeat(
+        jnp.arange(b, dtype=jnp.int32), n, total_repeat_length=b * n
+    )
+    return {
+        "coords": jnp.reshape(batch.coords, (b * n, 3)),
+        "feats": jnp.reshape(batch.feats, (b * n, -1)),
+        "batch_ids": batch_ids,
+        "mask_valid": jnp.reshape(batch.mask_valid, (b * n,)),
+        "offset_labels": jnp.reshape(batch.offset_labels, (b * n, 3)),
+        "semantic_labels": jnp.reshape(batch.semantic_labels, (b * n,)),
+        "mask_off": jnp.reshape(batch.mask_off, (b * n,)),
+    }
+
+
+def treelearn_family(
+    model: TreeLearn,
+    loss_multiplier_semantic: float = 1.0,
+    loss_multiplier_offset: float = 1.0,
+) -> tuple[Callable, Callable]:
+    """(forward_fn, loss_fn) for the harness, TreeLearn flavor.
+
+    The harness hands over PaddedBatches; TreeLearn consumes the flat
+    voxel-model layout, so the adapter reshapes inside the jitted step.
+    """
+
+    def forward_fn(params, batch_stats, batch, train, rng):
+        flat = _flatten_padded(batch)
+        variables = {"params": params, "batch_stats": batch_stats}
+        args = (
+            flat["coords"],
+            flat["feats"],
+            flat["batch_ids"],
+            flat["mask_valid"],
+        )
+        if train:
+            out, mutated = model.apply(
+                variables, *args, train=True, mutable=["batch_stats"]
+            )
+            return out, mutated["batch_stats"]
+        return model.apply(variables, *args, train=False), batch_stats
+
+    def loss_fn(output, batch):
+        return treelearn_loss(
+            output,
+            _flatten_padded(batch),
+            loss_multiplier_semantic=loss_multiplier_semantic,
+            loss_multiplier_offset=loss_multiplier_offset,
+        )
+
+    return forward_fn, loss_fn
+
+
+def init_treelearn(model: TreeLearn, example_batch, rng: jax.Array):
+    flat = _flatten_padded(
+        jax.tree.map(jnp.asarray, example_batch)
+    )
+    init = jax.jit(
+        lambda r, c, f, b, v: model.init(r, c, f, b, v, train=False)
+    )
+    return init(
+        rng,
+        flat["coords"],
+        flat["feats"],
+        flat["batch_ids"],
+        flat["mask_valid"],
+    )

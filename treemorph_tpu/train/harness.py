@@ -1,0 +1,207 @@
+"""Training harness: optax AdamW + masked losses + data-parallel jit.
+
+Capability parity with the reference harness
+(``/root/reference/Modules/train_utils.py``): per-epoch train/validate loops,
+the x50 loss scaling at backward (``train_utils.py:58``), global-norm grad
+clipping at 1.0 (``:60`` — torch's ``clip_grad_norm_(params, True)`` casts
+``True`` to 1.0), per-epoch cosine-warm-restart LR, early stopping with
+best-checkpoint save, and loss logging.
+
+TPU redesign:
+- no AMP GradScaler: bf16 on TPU needs no loss scaling (models run f32 by
+  default here; mixed precision is a model-level choice);
+- one jitted train step per batch-shape bucket; the data layer buckets N so
+  recompiles are bounded;
+- data parallelism is jit-over-sharded-arrays: the batch is sharded on its
+  leading axis over a 1-D ``Mesh``, parameters are replicated, and the
+  cross-shard gradient reduction falls out of the masked-mean loss under
+  GSPMD (net-new vs the single-GPU reference, SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.mesh import pad_batch_to_multiple, replicate, shard_batch
+
+logger = logging.getLogger("treemorph_tpu.train")
+
+LOSS_BACKWARD_SCALE = 50.0  # reference train_utils.py:58
+GRAD_CLIP_NORM = 1.0  # reference train_utils.py:60
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(weight_decay: float = 1e-3) -> optax.GradientTransformation:
+    """AdamW with dynamic LR applied in the step (see make_train_step)."""
+    return optax.chain(
+        optax.clip_by_global_norm(GRAD_CLIP_NORM),
+        optax.scale_by_adam(),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale(-1.0),
+    )
+
+
+def create_train_state(
+    variables: dict, tx: optax.GradientTransformation
+) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    forward_fn: Callable,
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+):
+    """Build the jitted train step.
+
+    forward_fn(params, batch_stats, batch, train, rng)
+        -> (output dict, new_batch_stats)
+    loss_fn(output, batch) -> (loss, loss_dict)
+    """
+
+    @jax.jit
+    def train_step(state: TrainState, batch, lr, rng):
+        def compute(params):
+            out, new_bs = forward_fn(
+                params, state.batch_stats, batch, True, rng
+            )
+            loss, loss_dict = loss_fn(out, batch)
+            return loss * LOSS_BACKWARD_SCALE, (new_bs, loss, loss_dict)
+
+        grads, (new_bs, loss, loss_dict) = jax.grad(compute, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, **loss_dict}
+
+    return train_step
+
+
+def make_eval_step(forward_fn: Callable, loss_fn: Callable):
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        out, _ = forward_fn(state.params, state.batch_stats, batch, False, None)
+        loss, loss_dict = loss_fn(out, batch)
+        return {"loss": loss, **loss_dict}
+
+    return eval_step
+
+
+def run_training(
+    state: TrainState,
+    train_step,
+    eval_step,
+    train_batches: Callable,  # epoch -> iterator of PaddedBatch
+    val_batches: Callable,  # epoch -> iterator of PaddedBatch
+    epochs: int,
+    lr_schedule: Callable,  # epoch -> float
+    early_stopper=None,
+    mesh=None,
+    rng: Optional[jax.Array] = None,
+    verbose: bool = False,
+):
+    """Epoch loop with per-epoch validation, logging and early stopping.
+
+    Mirrors reference ``run_training`` (train_utils.py:130-197). When a mesh
+    is given, batches are padded to the mesh size and sharded on their
+    leading axis; the state is replicated once.
+    """
+    rng = rng if rng is not None else jax.random.key(0)
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    history = []
+    for epoch in range(epochs):
+        lr = jnp.float32(lr_schedule(epoch))
+        t0 = time.time()
+
+        train_metrics = []
+        for batch in train_batches(epoch):
+            if mesh is not None:
+                batch = pad_batch_to_multiple(batch, mesh.devices.size)
+                batch = shard_batch(batch, mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = train_step(state, batch, lr, step_rng)
+            train_metrics.append(metrics)
+
+        val_metrics = []
+        for batch in val_batches(epoch):
+            if mesh is not None:
+                batch = pad_batch_to_multiple(batch, mesh.devices.size)
+                batch = shard_batch(batch, mesh)
+            val_metrics.append(eval_step(state, batch))
+
+        def mean_of(ms, key):
+            if not ms:
+                return float("nan")
+            return float(
+                jnp.mean(jnp.stack([jnp.asarray(m[key]) for m in ms]))
+            )
+
+        record = {
+            "epoch": epoch,
+            "lr": float(lr),
+            "time": time.time() - t0,
+            "train_loss": mean_of(train_metrics, "loss"),
+            "train_offset_loss": mean_of(train_metrics, "offset_loss"),
+            "train_semantic_loss": mean_of(train_metrics, "semantic_loss"),
+            "val_loss": mean_of(val_metrics, "loss"),
+            "val_offset_loss": mean_of(val_metrics, "offset_loss"),
+            "val_semantic_loss": mean_of(val_metrics, "semantic_loss"),
+        }
+        history.append(record)
+        logger.info(
+            "Epoch %d/%d | Train: %.4f Val: %.4f | Off: %.4f/%.4f | "
+            "Sem: %.4f/%.4f | %.1fs",
+            epoch + 1,
+            epochs,
+            record["train_loss"],
+            record["val_loss"],
+            record["train_offset_loss"],
+            record["val_offset_loss"],
+            record["train_semantic_loss"],
+            record["val_semantic_loss"],
+            record["time"],
+        )
+        if verbose:
+            print(
+                f"Epoch {epoch + 1}/{epochs}  "
+                f"train {record['train_loss']:.4f}  "
+                f"val {record['val_loss']:.4f}"
+            )
+
+        if early_stopper is not None:
+            early_stopper(state, record["train_loss"], record["val_loss"])
+            if early_stopper.early_stop:
+                logger.info("Early stopping at epoch %d", epoch + 1)
+                break
+
+    return state, history
