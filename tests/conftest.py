@@ -24,7 +24,7 @@ jax.config.update("jax_platforms", "cpu")
 
 # XLA compiles are pathologically slow in this sandbox (~0.4s per tiny op);
 # a persistent on-disk cache makes reruns cheap.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

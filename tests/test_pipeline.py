@@ -1,0 +1,165 @@
+"""Tests for pipeline stages: upsampling, rasterized prediction, QSM fit."""
+
+import numpy as np
+import pytest
+
+from treemorph_tpu.fixtures import synthetic_qsm, synthetic_tree_cloud
+from treemorph_tpu.pipeline.predict import raster_assignments
+from treemorph_tpu.pipeline.qsm import QSMParams, fit_qsm
+from treemorph_tpu.pipeline.upsample import upsample
+
+
+class TestUpsample:
+    def test_reaches_min_points(self, rng):
+        pts = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
+        out = upsample(
+            pts, k_init=5, max_iterations=10, min_points=3000, rng=rng,
+            cell_size=0.3,
+        )
+        assert len(out) >= 3000
+        # originals are preserved as a prefix
+        np.testing.assert_allclose(out[:500], pts, atol=1e-6)
+
+    def test_skips_when_enough_points(self, rng):
+        pts = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
+        out = upsample(pts, min_points=100, rng=rng)
+        assert len(out) == 500
+
+    def test_midpoints_near_original_surface(self, rng):
+        # midpoints of close neighbors should stay near the original set
+        from scipy.spatial import cKDTree
+
+        pts, _ = synthetic_tree_cloud(points_per_m2=100, rng=rng)
+        pts = pts[:1500]
+        out = upsample(
+            pts, k_init=5, max_iterations=3, min_points=5000, rng=rng,
+            cell_size=0.5,
+        )
+        new = out[len(pts):]
+        assert len(new) > 0
+        d, _ = cKDTree(pts).query(new, k=1)
+        assert np.median(d) < 0.25
+
+    def test_min_height_protects_base(self, rng):
+        pts = rng.uniform(0, 1, size=(300, 3)).astype(np.float32)
+        out = upsample(
+            pts, k_init=5, min_height=2.0, min_points=10_000, rng=rng
+        )
+        # everything is below min_height -> nothing above threshold to
+        # upsample (fewer than k points above) -> unchanged
+        assert len(out) == 300
+
+
+class TestRasterAssignments:
+    def test_partition_when_stride_equals_size(self, rng):
+        pts = rng.uniform(0, 3, size=(400, 3)).astype(np.float32)
+        rasters = raster_assignments(pts, raster_size=1.0, stride=1.0)
+        all_idx = np.concatenate([idx for _, idx in rasters])
+        # every point exactly once
+        assert sorted(all_idx) == list(range(400))
+
+    def test_overlap_with_half_stride(self, rng):
+        pts = rng.uniform(0.9, 2.1, size=(300, 3)).astype(np.float32)
+        rasters = raster_assignments(pts, raster_size=1.0, stride=0.5)
+        counts = np.zeros(300, int)
+        for key, idx in rasters:
+            counts[idx] += 1
+            cell = pts[idx]
+            assert (cell.max(0) - cell.min(0) <= 1.0 + 1e-6).all()
+        assert counts.min() >= 1
+        assert counts.max() <= 8  # at most 2 per dim
+
+    def test_raster_bounds_respected(self, rng):
+        pts = rng.uniform(0, 2, size=(200, 3)).astype(np.float32)
+        mins = pts.min(0)
+        for key, idx in raster_assignments(pts, 1.0, 1.0):
+            origin = mins + np.array(key) * 1.0
+            cell = pts[idx]
+            assert (cell >= origin - 1e-6).all()
+            assert (cell < origin + 1.0 + 1e-6).all()
+
+
+class TestQSM:
+    @pytest.fixture(scope="class")
+    def fitted(self):
+        rng = np.random.default_rng(11)
+        qsm = synthetic_qsm(n_branches=3, rng=rng)
+        points, _ = synthetic_tree_cloud(
+            qsm=qsm, points_per_m2=700, noise_scale=0.004,
+            outlier_fraction=0.0, rng=rng,
+        )
+        params = QSMParams(seed=0)
+        df, tracker, clusters, seg = fit_qsm(points, params=params)
+        return qsm, points, df, tracker, clusters, seg
+
+    def test_produces_cylinders(self, fitted):
+        _, _, df, tracker, clusters, _ = fitted
+        assert df is not None and len(df) > 3
+        assert len(clusters) >= 1
+
+    def test_cylinder_graph_consistency(self, fitted):
+        _, _, df, tracker, _, _ = fitted
+        for cyl in tracker.cylinders.values():
+            if cyl.parent_cylinder_id is not None:
+                parent = tracker.cylinders[cyl.parent_cylinder_id]
+                assert cyl.id in parent.child_cylinder_ids
+        roots = [
+            c
+            for c in tracker.cylinders.values()
+            if c.parent_cylinder_id is None
+        ]
+        assert len(roots) >= 1
+
+    def test_skeleton_near_true_stem(self, fitted):
+        # fitted cylinder centers should hug the true QSM axis: the stem is
+        # at x=y=0, so low cylinders must be near the z axis
+        _, _, df, _, _, _ = fitted
+        low = df[(df["startZ"] < 4.0)]
+        assert len(low) > 0
+        xy = np.hypot(
+            (low["startX"] + low["endX"]) / 2,
+            (low["startY"] + low["endY"]) / 2,
+        )
+        assert np.median(xy) < 0.35
+
+    def test_segmentation_covers_most_points(self, fitted):
+        _, points, _, _, _, seg = fitted
+        frac_segmented = np.mean(seg != -1)
+        assert frac_segmented > 0.5
+
+    def test_csv_export_schema(self, fitted, tmp_path):
+        _, points, _, tracker, _, _ = fitted
+        df = tracker.export_to_dataframe()
+        for col in (
+            "ID", "startX", "startY", "startZ", "endX", "endY", "endZ",
+            "radius", "volume", "length", "parentID", "type",
+        ):
+            assert col in df.columns
+
+    def test_reproducible_with_seed(self):
+        rng = np.random.default_rng(3)
+        qsm = synthetic_qsm(n_branches=2, rng=rng)
+        points, _ = synthetic_tree_cloud(
+            qsm=qsm, points_per_m2=400, noise_scale=0.004,
+            outlier_fraction=0.0, rng=rng,
+        )
+        df1, _, _, _ = fit_qsm(points, params=QSMParams(seed=7))
+        df2, _, _, _ = fit_qsm(points, params=QSMParams(seed=7))
+        assert len(df1) == len(df2)
+        np.testing.assert_allclose(
+            df1[["startX", "startY", "startZ", "radius"]].to_numpy(),
+            df2[["startX", "startY", "startZ", "radius"]].to_numpy(),
+        )
+
+    def test_ply_export(self, fitted, tmp_path):
+        _, _, _, tracker, clusters, _ = fitted
+        from treemorph_tpu.pipeline.qsm.structures import (
+            export_clusters_spheres_ply,
+        )
+
+        cyl_path = str(tmp_path / "cyl.ply")
+        tracker.export_mesh_ply(cyl_path, resolution=6)
+        assert "ply" in open(cyl_path).readline()
+        sph_path = str(tmp_path / "sph.ply")
+        export_clusters_spheres_ply(clusters, sph_path, resolution=4)
+        assert "ply" in open(sph_path).readline()

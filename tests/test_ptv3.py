@@ -1,0 +1,212 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from treemorph_tpu.fixtures import synthetic_cylinder_cloud
+from treemorph_tpu.models.ptv3 import (
+    PointTransformerWithHeads,
+    make_pointset,
+    ptv3_loss,
+)
+
+# Tiny config: 3 stages, small channels/patches so CPU tests stay fast.
+TINY = dict(
+    enc_depths=(1, 1, 1),
+    enc_channels=(16, 32, 64),
+    enc_num_head=(2, 4, 8),
+    enc_patch_size=(64, 64, 64),
+    dec_depths=(1, 1),
+    dec_channels=(16, 32),
+    dec_num_head=(2, 4),
+    dec_patch_size=(64, 64),
+    drop_path=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def flat_batch():
+    rng = np.random.default_rng(5)
+    labeled = synthetic_cylinder_cloud(700, rng=rng)
+    p = 768  # multiple of the 64-point patch
+    coords = np.zeros((p, 3), np.float32)
+    feats = np.zeros((p, 4), np.float32)
+    offs = np.zeros((p, 3), np.float32)
+    coords[:700] = labeled[:, :3]
+    feats[:700] = labeled[:, 7:]
+    offs[:700] = labeled[:, 3:6]
+    norm = np.linalg.norm(offs, axis=1)
+    valid = np.arange(p) < 700
+    batch_ids = np.zeros(p, np.int32)
+    batch_ids[350:] = 1
+    return {
+        "coords": jnp.asarray(coords),
+        "feats": jnp.asarray(feats),
+        "batch_ids": jnp.asarray(batch_ids),
+        "mask_valid": jnp.asarray(valid),
+        "offset_labels": jnp.asarray(offs),
+        "semantic_labels": jnp.asarray((norm > 0.05).astype(np.int32)),
+        "mask_off": jnp.asarray(norm <= 0.05),
+    }
+
+
+class TestPointSet:
+    def test_orders_are_permutations(self, flat_batch):
+        ps = make_pointset(
+            flat_batch["coords"],
+            flat_batch["feats"],
+            flat_batch["batch_ids"],
+            flat_batch["mask_valid"],
+            grid_size=0.02,
+        )
+        p = flat_batch["coords"].shape[0]
+        for o in range(4):
+            perm = np.asarray(ps.orders[o])
+            inv = np.asarray(ps.inverses[o])
+            assert sorted(perm) == list(range(p))
+            np.testing.assert_array_equal(perm[inv], np.arange(p))
+
+    def test_invalid_points_sort_last(self, flat_batch):
+        ps = make_pointset(
+            flat_batch["coords"],
+            flat_batch["feats"],
+            flat_batch["batch_ids"],
+            flat_batch["mask_valid"],
+            grid_size=0.02,
+        )
+        valid = np.asarray(flat_batch["mask_valid"])
+        n_valid = valid.sum()
+        for o in range(4):
+            perm = np.asarray(ps.orders[o])
+            assert valid[perm[:n_valid]].all()
+            assert not valid[perm[n_valid:]].any()
+
+    def test_serialized_locality(self, flat_batch):
+        # points adjacent in serialized order should be close in space
+        ps = make_pointset(
+            flat_batch["coords"],
+            flat_batch["feats"],
+            flat_batch["batch_ids"],
+            flat_batch["mask_valid"],
+            grid_size=0.02,
+        )
+        coords = np.asarray(flat_batch["coords"])
+        valid = np.asarray(flat_batch["mask_valid"])
+        perm = np.asarray(ps.orders[2])  # hilbert
+        path = coords[perm[: valid.sum()]]
+        same_batch = np.diff(
+            np.asarray(flat_batch["batch_ids"])[perm[: valid.sum()]]
+        ) == 0
+        steps = np.linalg.norm(np.diff(path, axis=0), axis=1)[same_batch]
+        rng = np.random.default_rng(0)
+        rand_idx = rng.permutation(valid.sum())
+        rand_steps = np.linalg.norm(
+            np.diff(coords[perm[: valid.sum()]][rand_idx], axis=0), axis=1
+        )
+        assert np.median(steps) < 0.3 * np.median(rand_steps)
+
+
+class TestPTv3:
+    def test_forward_shapes_and_masking(self, flat_batch):
+        model = PointTransformerWithHeads(dim_feat=4, use_feats=True, **TINY)
+        args = (
+            flat_batch["coords"],
+            flat_batch["feats"],
+            flat_batch["batch_ids"],
+            flat_batch["mask_valid"],
+        )
+        init = jax.jit(
+            lambda r, c, f, b, v: model.init(r, c, f, b, v, train=False)
+        )
+        variables = init(jax.random.key(0), *args)
+        apply = jax.jit(
+            lambda p, c, f, b, v: model.apply(p, c, f, b, v, train=False)
+        )
+        out = apply(variables, *args)
+        p = flat_batch["coords"].shape[0]
+        assert out["semantic_prediction_logits"].shape == (p, 2)
+        assert out["offset_predictions"].shape == (p, 3)
+        assert out["backbone_feats"].shape == (p, TINY["dec_channels"][0])
+        feats = np.asarray(out["backbone_feats"])
+        assert np.isfinite(feats).all()
+        np.testing.assert_array_equal(feats[700:], 0.0)
+
+    def test_use_feats_false_ignores_features(self, flat_batch):
+        model = PointTransformerWithHeads(dim_feat=4, use_feats=False, **TINY)
+        args = (
+            flat_batch["coords"],
+            flat_batch["feats"],
+            flat_batch["batch_ids"],
+            flat_batch["mask_valid"],
+        )
+        init = jax.jit(
+            lambda r, c, f, b, v: model.init(r, c, f, b, v, train=False)
+        )
+        variables = init(jax.random.key(0), *args)
+        apply = jax.jit(
+            lambda p, c, f, b, v: model.apply(p, c, f, b, v, train=False)
+        )
+        out_a = apply(variables, *args)
+        out_b = apply(
+            variables,
+            args[0],
+            args[1] * 5.0 + 1.0,  # different features
+            args[2],
+            args[3],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_a["offset_predictions"]),
+            np.asarray(out_b["offset_predictions"]),
+            atol=1e-6,
+        )
+
+    def test_overfits_offsets(self, flat_batch):
+        model = PointTransformerWithHeads(dim_feat=4, use_feats=True, **TINY)
+        args = (
+            flat_batch["coords"],
+            flat_batch["feats"],
+            flat_batch["batch_ids"],
+            flat_batch["mask_valid"],
+        )
+        init = jax.jit(
+            lambda r, c, f, b, v: model.init(r, c, f, b, v, train=True)
+        )
+        variables = init(jax.random.key(0), *args)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, batch_stats, opt_state):
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    *args,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                loss, _ = ptv3_loss(
+                    out, flat_batch, loss_multiplier_semantic=0.0
+                )
+                return loss, mut["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return (
+                optax.apply_updates(params, updates),
+                new_bs,
+                opt_state,
+                loss,
+            )
+
+        losses = []
+        for _ in range(20):
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state
+            )
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.85, losses

@@ -333,6 +333,7 @@ class SerializedPooling(nn.Module):
 
         counts = jax.ops.segment_sum(w[:, 0], cluster, num_segments=p)
         coarse_valid = counts > 0
+        feat = feat * coarse_valid[:, None]  # clear sentinel rows
         coord = jax.ops.segment_sum(
             ps.coord * w, cluster, num_segments=p
         ) / jnp.maximum(counts, 1.0)[:, None]

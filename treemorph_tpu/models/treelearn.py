@@ -62,8 +62,12 @@ class MaskedBatchNorm(nn.Module):
         if train:
             w = mask.astype(jnp.float32)[:, None]
             cnt = jnp.maximum(jnp.sum(w), 1.0)
-            mean = jnp.sum(x * w, axis=0) / cnt
-            var = jnp.sum(jnp.square(x - mean) * w, axis=0) / cnt
+            # zero masked rows BEFORE arithmetic: huge sentinel values in
+            # padding rows would otherwise produce inf*0 = NaN
+            xw = jnp.where(mask[:, None], x, 0.0)
+            mean = jnp.sum(xw, axis=0) / cnt
+            centered = jnp.where(mask[:, None], x - mean, 0.0)
+            var = jnp.sum(jnp.square(centered), axis=0) / cnt
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean

@@ -46,6 +46,14 @@ def restore_checkpoint(path: str, template: Any) -> Any:
         return ckptr.restore(path, template)
 
 
+def save_model_checkpoint(path: str, state, metadata: dict | None = None):
+    """Save only the inference variables {params, batch_stats} of a
+    TrainState — the deployment checkpoint format consumed by
+    :mod:`treemorph_tpu.evaluation.model_loaders`."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    save_checkpoint(path, variables, metadata)
+
+
 def load_metadata(path: str) -> dict | None:
     meta_path = os.path.abspath(path) + ".metadata.json"
     if not os.path.exists(meta_path):
