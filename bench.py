@@ -1,16 +1,19 @@
-"""Benchmark: flagship-model inference throughput (points/sec/chip).
+"""Benchmark: flagship TreeLearn sparse-UNet inference (points/sec/chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline derivation (see BASELINE.md): the reference publishes only training
-epoch times (TreeLearn 12.96 s/epoch at 30 trees/batch on an unstated single
-GPU, ``Plotting/computational_expenses.py``). The driver's north star is
-inference points/sec/chip at >10x the reference GPU. We estimate the
-reference GPU's inference throughput at ~1e6 points/sec (13M-ish points per
-TreeLearn epoch / ~13 s, and typical spconv single-GPU forward rates for
-20k-100k-point trees); ``vs_baseline`` is ours / that estimate. The estimate
-is documented rather than measured because the reference repo ships no
-inference benchmark.
+Workload: one forward pass of the pipeline-configured TreeLearn
+(num_blocks=3, voxel 0.02 m, dim_feat=4 — ModelLoaders fixed hyperparams)
+over a synthetic ~1M-point tree batch, the stage-1 inference path of the
+pipeline (SURVEY.md §3.2).
+
+Baseline derivation (see BASELINE.md): the reference publishes only
+training epoch times (TreeLearn 12.96 s/epoch, 30 trees/batch, unstated
+single GPU). The driver's north star is inference points/sec/chip at >10x
+the reference GPU. We estimate the reference GPU inference throughput at
+~1e6 points/sec (a 13 s epoch over a ~100-tree x ~100k-point dataset
+implies roughly that forward+backward rate; spconv single-GPU forward rates
+on 0.02 m voxel clouds are the same order). ``vs_baseline`` = ours / 1e6.
 """
 
 import json
@@ -18,52 +21,71 @@ import time
 
 import numpy as np
 
-REFERENCE_POINTS_PER_SEC_EST = 1.0e6
-
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from treemorph_tpu.models import PointNet2
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
 
-    # Raster-style inference workload: 60 rasters x 4096 points (the
-    # reference's PointNet2 inference minibatch shape, ModelPredicting.py
-    # uses 60-raster minibatches of 1m rasters).
-    b, n = 60, 4096
+    from treemorph_tpu.fixtures import synthetic_qsm, synthetic_tree_cloud
+    from treemorph_tpu.models import TreeLearn
+
+    # Synthetic batch: 8 trees x 131072 points = ~1.05M points.
+    b, n = 8, 131072
     rng = np.random.default_rng(0)
-    coords = jnp.asarray(rng.uniform(0, 1, (b, n, 3)).astype(np.float32))
-    feats = jnp.asarray(rng.normal(size=(b, n, 4)).astype(np.float32))
-    valid = jnp.ones((b, n), bool)
+    clouds = []
+    for i in range(b):
+        qsm = synthetic_qsm(rng=rng)
+        pts, _ = synthetic_tree_cloud(qsm=qsm, points_per_m2=3000, rng=rng)
+        if len(pts) >= n:
+            pts = pts[:n]
+        else:
+            reps = -(-n // len(pts))
+            pts = np.tile(pts, (reps, 1))[:n] + rng.normal(
+                0, 0.01, (n, 3)
+            ).astype(np.float32)
+        clouds.append(pts)
+    coords = jnp.asarray(np.concatenate(clouds))  # (B*N, 3)
+    feats = jnp.asarray(
+        rng.normal(size=(b * n, 4)).astype(np.float32)
+    )
+    batch_ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+    valid = jnp.ones(b * n, bool)
 
-    model = PointNet2(depth=5)
-    init = jax.jit(lambda r, c, f, v: model.init(r, c, f, v, train=False))
-    variables = init(jax.random.key(0), coords, feats, valid)
+    model = TreeLearn(
+        channels=32, num_blocks=3, dim_feat=4, voxel_size=0.02, batch_size=b
+    )
+    init = jax.jit(
+        lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)
+    )
+    variables = init(jax.random.key(0), coords, feats, batch_ids, valid)
 
     @jax.jit
-    def forward(variables, coords, feats, valid):
-        out = model.apply(variables, coords, feats, valid, train=False)
+    def forward(variables, coords, feats, batch_ids, valid):
+        out = model.apply(variables, coords, feats, batch_ids, valid,
+                          train=False)
         return out["offset_predictions"], out["semantic_prediction_logits"]
 
-    # compile + warmup
-    jax.block_until_ready(forward(variables, coords, feats, valid))
+    jax.block_until_ready(forward(variables, coords, feats, batch_ids, valid))
 
-    iters = 10
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(variables, coords, feats, valid)
+        out = forward(variables, coords, feats, batch_ids, valid)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     points_per_sec = b * n * iters / dt
+    reference_points_per_sec_est = 1.0e6
     print(
         json.dumps(
             {
-                "metric": "pointnet2_inference_points_per_sec_per_chip",
+                "metric": "treelearn_inference_points_per_sec_per_chip",
                 "value": round(points_per_sec, 1),
                 "unit": "points/sec",
                 "vs_baseline": round(
-                    points_per_sec / REFERENCE_POINTS_PER_SEC_EST, 3
+                    points_per_sec / reference_points_per_sec_est, 3
                 ),
             }
         )

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Unified training CLI for all three model families.
+
+Capability parity with the reference training entry points
+(``ModelTrainingScripts/train_TreeLearn.py``, ``train_PointNet2.py``,
+``train_PointTransformerV3.py``): per-plot cross-validation over
+``--test_plots`` (default 3 4 6 8), AdamW(wd=1e-3) with
+CosineAnnealingWarmRestarts(T_0=50, eta_min=1e-4), early stopping with
+best-checkpoint saves, loss multipliers, noise-cloud training, and
+per-model hyperparameters — one argparse CLI instead of three near-copies.
+
+Checkpoints land in ``{save_dir}/{name}_CV/P{plot}/`` as orbax directories
+with metadata manifests (replacing the reference's name-encoded configs).
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a tree-morphology model")
+    p.add_argument("model", choices=["treelearn", "pointnet2",
+                                     "pointtransformerv3"])
+    p.add_argument("--data_root", type=str, required=True,
+                   help="directory with plot_{n}.json manifests")
+    p.add_argument("--save_dir", type=str, default="ModelSaves")
+    p.add_argument("--name", type=str, default=None,
+                   help="checkpoint run name (default: model family)")
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--bucket", type=int, default=1024,
+                   help="pad point counts to multiples of this")
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--weight_decay", type=float, default=1e-3)
+    p.add_argument("--t0", type=int, default=50)
+    p.add_argument("--eta_min", type=float, default=1e-4)
+    p.add_argument("--patience", type=int, default=20)
+    p.add_argument("--noise_distance", type=float, default=0.05)
+    p.add_argument("--noise_root", type=str, default=None)
+    p.add_argument("--loss_multiplier_semantic", type=float, default=1.0)
+    p.add_argument("--loss_multiplier_offset", type=float, default=1.0)
+    p.add_argument("--test_plots", type=int, nargs="+", default=[3, 4, 6, 8])
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="data-parallel devices (default: all)")
+    p.add_argument("--seed", type=int, default=0)
+    # family hyperparameters
+    p.add_argument("--voxel_size", type=float, default=None)
+    p.add_argument("--num_blocks", type=int, default=3)
+    p.add_argument("--channels", type=int, default=32)
+    p.add_argument("--depth", type=int, default=5, help="pointnet2 depth")
+    p.add_argument("--dim_feat", type=int, default=4)
+    p.add_argument("--verbose", action="store_true")
+    return p.parse_args()
+
+
+def build(args, batch_size: int):
+    from treemorph_tpu.models import PointNet2, TreeLearn
+    from treemorph_tpu.models.ptv3 import PointTransformerWithHeads
+    from treemorph_tpu.train import families
+
+    if args.model == "treelearn":
+        model = TreeLearn(
+            channels=args.channels,
+            num_blocks=args.num_blocks,
+            dim_feat=args.dim_feat,
+            voxel_size=args.voxel_size or 0.02,
+            batch_size=batch_size,
+        )
+        fam = families.treelearn_family(
+            model, args.loss_multiplier_semantic, args.loss_multiplier_offset
+        )
+        init = families.init_treelearn
+    elif args.model == "pointtransformerv3":
+        model = PointTransformerWithHeads(
+            dim_feat=args.dim_feat,
+            use_feats=True,
+            voxel_size=args.voxel_size or 0.02,
+        )
+        fam = families.ptv3_family(
+            model, args.loss_multiplier_semantic, args.loss_multiplier_offset
+        )
+        init = families.init_ptv3
+    else:
+        model = PointNet2(depth=args.depth, dim_feat=args.dim_feat)
+        fam = families.pointnet2_family(
+            model, args.loss_multiplier_semantic, args.loss_multiplier_offset
+        )
+        init = families.init_pointnet2
+    return model, fam, init
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import numpy as np
+
+    from treemorph_tpu.data import batch_iterator, get_plot_split
+    from treemorph_tpu.parallel import make_mesh
+    from treemorph_tpu.train import (
+        cosine_annealing_warm_restarts,
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+        run_training,
+    )
+    from treemorph_tpu.train.checkpoints import save_model_checkpoint
+    from treemorph_tpu.train.harness import make_optimizer
+    from treemorph_tpu.utils import EarlyStopper
+
+    name = args.name or args.model
+    mesh = make_mesh(args.n_devices) if jax.device_count() > 1 else None
+
+    for plot in args.test_plots:
+        logging.info("=== CV fold: test plot %s ===", plot)
+        trainset, valset = get_plot_split(
+            args.data_root,
+            plot,
+            noise_distance=args.noise_distance,
+            noise_root=args.noise_root,
+        )
+        rng_np = np.random.default_rng(args.seed)
+        example = next(batch_iterator(trainset, args.batch_size, args.bucket,
+                                      shuffle=False))
+        model, (forward_fn, loss_fn), init_fn = build(
+            args, example.batch_size
+        )
+        variables = init_fn(model, example, jax.random.key(args.seed))
+        tx = make_optimizer(args.weight_decay)
+        state = create_train_state(variables, tx)
+        train_step = make_train_step(forward_fn, loss_fn, tx)
+        eval_step = make_eval_step(forward_fn, loss_fn)
+
+        ckpt_path = os.path.join(args.save_dir, f"{name}_CV", f"P{plot}")
+        metadata = {
+            "model": args.model,
+            "plot": plot,
+            "voxel_size": args.voxel_size,
+            "num_blocks": args.num_blocks,
+            "channels": args.channels,
+            "depth": args.depth,
+            "dim_feat": args.dim_feat,
+            "noise_distance": args.noise_distance,
+        }
+        stopper = EarlyStopper(
+            patience=args.patience,
+            verbose=args.verbose,
+            save_fn=lambda s: save_model_checkpoint(ckpt_path, s, metadata),
+        )
+        state, history = run_training(
+            state,
+            train_step,
+            eval_step,
+            train_batches=lambda e: batch_iterator(
+                trainset, args.batch_size, args.bucket, rng=rng_np
+            ),
+            val_batches=lambda e: batch_iterator(
+                valset, args.batch_size, args.bucket, shuffle=False
+            ),
+            epochs=args.epochs,
+            lr_schedule=cosine_annealing_warm_restarts(
+                args.lr, t_0=args.t0, eta_min=args.eta_min
+            ),
+            early_stopper=stopper,
+            mesh=mesh,
+            rng=jax.random.key(args.seed),
+            verbose=args.verbose,
+        )
+        logging.info(
+            "fold P%s done: best val %.4f", plot, stopper.best_loss
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -217,15 +217,21 @@ def down_conv_apply(
     ds: DownsampleMap,
     valid: jax.Array,  # (M,) fine validity
 ) -> jax.Array:
-    """Strided (k=2, s=2) conv: coarse[j] = sum_{i: parent(i)=j} W[oct(i)] @ fine[i]."""
-    m = feats.shape[0]
-    w_per_fine = weights[ds.child_offset]  # (M, Cin, Cout)
-    contrib = jnp.einsum(
-        "mc,mcd->md",
-        feats * valid[:, None],
-        w_per_fine,
-        preferred_element_type=jnp.float32,
-    )
+    """Strided (k=2, s=2) conv: coarse[j] = sum_{i: parent(i)=j} W[oct(i)] @ fine[i].
+
+    Implemented as 8 masked (M, Cin) x (Cin, Cout) matmuls — gathering a
+    per-point (Cin, Cout) weight matrix would materialize an (M, Cin, Cout)
+    tensor (tens of GB at 1M voxels).
+    """
+    m, cin = feats.shape
+    cout = weights.shape[-1]
+    masked = feats * valid[:, None]
+    contrib = jnp.zeros((m, cout), jnp.float32)
+    for k in range(8):
+        sel = (ds.child_offset == k).astype(feats.dtype)[:, None]
+        contrib = contrib + jnp.dot(
+            masked * sel, weights[k], preferred_element_type=jnp.float32
+        )
     out = jax.ops.segment_sum(contrib, ds.parent, num_segments=m)
     return out * ds.coarse_valid[:, None]
 
@@ -237,13 +243,18 @@ def inverse_conv_apply(
     fine_valid: jax.Array,  # (M,)
 ) -> jax.Array:
     """Inverse of the stride-2 conv (reference SparseInverseConv3d): each
-    fine voxel reads its parent's features through its octant filter."""
+    fine voxel reads its parent's features through its octant filter.
+
+    Same masked-matmul formulation as :func:`down_conv_apply` to avoid an
+    (M, Cin, Cout) gathered-weights tensor.
+    """
+    m = ds.parent.shape[0]
+    cout = weights.shape[-1]
     gathered = coarse_feats[ds.parent]  # (M, Cin)
-    w_per_fine = weights[ds.child_offset]  # (M, Cin, Cout)
-    out = jnp.einsum(
-        "mc,mcd->md",
-        gathered,
-        w_per_fine,
-        preferred_element_type=jnp.float32,
-    )
+    out = jnp.zeros((m, cout), jnp.float32)
+    for k in range(8):
+        sel = (ds.child_offset == k).astype(gathered.dtype)[:, None]
+        out = out + jnp.dot(
+            gathered * sel, weights[k], preferred_element_type=jnp.float32
+        )
     return out * fine_valid[:, None]

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.pointnet2 import PointNet2, pointnet2_loss
+from ..models.ptv3 import PointTransformerWithHeads, ptv3_loss
 from ..models.treelearn import TreeLearn, treelearn_loss
 
 
@@ -129,6 +130,65 @@ def init_treelearn(model: TreeLearn, example_batch, rng: jax.Array):
     flat = _flatten_padded(
         jax.tree.map(jnp.asarray, example_batch)
     )
+    init = jax.jit(
+        lambda r, c, f, b, v: model.init(r, c, f, b, v, train=False)
+    )
+    return init(
+        rng,
+        flat["coords"],
+        flat["feats"],
+        flat["batch_ids"],
+        flat["mask_valid"],
+    )
+
+
+def ptv3_family(
+    model: PointTransformerWithHeads,
+    loss_multiplier_semantic: float = 1.0,
+    loss_multiplier_offset: float = 1.0,
+) -> tuple[Callable, Callable]:
+    """(forward_fn, loss_fn) for the harness, PTv3 flavor.
+
+    Training threads the step rng into order shuffling and stochastic
+    depth (the reference's shuffle_orders + DropPath,
+    ``PointTransformerV3.py:299``, ``blocks.py:599-601``).
+    """
+
+    def forward_fn(params, batch_stats, batch, train, rng):
+        flat = _flatten_padded(batch)
+        variables = {"params": params, "batch_stats": batch_stats}
+        args = (
+            flat["coords"],
+            flat["feats"],
+            flat["batch_ids"],
+            flat["mask_valid"],
+        )
+        if train:
+            shuffle_rng, drop_rng = jax.random.split(rng)
+            out, mutated = model.apply(
+                variables,
+                *args,
+                train=True,
+                shuffle_rng=shuffle_rng,
+                mutable=["batch_stats"],
+                rngs={"droppath": drop_rng},
+            )
+            return out, mutated["batch_stats"]
+        return model.apply(variables, *args, train=False), batch_stats
+
+    def loss_fn(output, batch):
+        return ptv3_loss(
+            output,
+            _flatten_padded(batch),
+            loss_multiplier_semantic=loss_multiplier_semantic,
+            loss_multiplier_offset=loss_multiplier_offset,
+        )
+
+    return forward_fn, loss_fn
+
+
+def init_ptv3(model: PointTransformerWithHeads, example_batch, rng: jax.Array):
+    flat = _flatten_padded(jax.tree.map(jnp.asarray, example_batch))
     init = jax.jit(
         lambda r, c, f, b, v: model.init(r, c, f, b, v, train=False)
     )
