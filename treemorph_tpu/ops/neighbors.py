@@ -81,10 +81,12 @@ def knn(
     q = queries.shape[0]
     cand_idx = []
     cand_dist = []
+    from .sparse import searchsorted_unrolled
+
     for off in _OFFSETS:
         nkey = linear_key(qcell + jnp.array(off, jnp.int32))
-        start = jnp.searchsorted(sorted_keys, nkey, side="left")
-        end = jnp.searchsorted(sorted_keys, nkey, side="right")
+        start = searchsorted_unrolled(sorted_keys, nkey)
+        end = searchsorted_unrolled(sorted_keys, nkey + 1)
         count = jnp.minimum(end - start, max_per_cell)
         slots = start[:, None] + jnp.arange(max_per_cell)[None, :]
         in_range = jnp.arange(max_per_cell)[None, :] < count[:, None]
@@ -144,10 +146,12 @@ def radius_count(
     )
     r2 = jnp.square(radius)
     total = jnp.zeros(queries.shape[0], jnp.int32)
+    from .sparse import searchsorted_unrolled
+
     for off in _OFFSETS:
         nkey = linear_key(qcell + jnp.array(off, jnp.int32))
-        start = jnp.searchsorted(sorted_keys, nkey, side="left")
-        end = jnp.searchsorted(sorted_keys, nkey, side="right")
+        start = searchsorted_unrolled(sorted_keys, nkey)
+        end = searchsorted_unrolled(sorted_keys, nkey + 1)
         count = jnp.minimum(end - start, max_per_cell)
         slots = start[:, None] + jnp.arange(max_per_cell)[None, :]
         in_range = jnp.arange(max_per_cell)[None, :] < count[:, None]

@@ -49,45 +49,129 @@ def _spatial_hash(coords: jax.Array) -> jax.Array:
     return h
 
 
+BUILD_PROBES = 6  # linear-probing rounds when inserting
+LOOKUP_PROBES = 6  # must be >= BUILD_PROBES
+
+
+SLOTS_PER_ROW = 8  # table rows bucket 8 consecutive probe slots
+
+
 class VoxelTable(NamedTuple):
-    """Hash-sorted lookup table over a padded voxel set."""
+    """Open-addressing direct-index hash table over a padded voxel set.
+
+    TPU random gathers are latency-bound per ROW, so the table buckets
+    SLOTS_PER_ROW consecutive probe slots into one (16 x int32) row:
+    ``rows[r, 2*l] = stored voxel index | -1`` and ``rows[r, 2*l+1] =
+    stored hash`` for slot ``s = r * SLOTS_PER_ROW + l``. A whole probe
+    chain (LOOKUP_PROBES <= 6) lives in at most two adjacent rows, so a
+    lookup costs 2 row-gathers + 1 coordinate-verify gather — versus ~40
+    dependent scalar gathers for a binary-search formulation.
+    """
 
     coords: jax.Array  # (M, 4) int32 (b, x, y, z)
     valid: jax.Array  # (M,) bool
-    sorted_hash: jax.Array  # (M,) uint32
-    order: jax.Array  # (M,) int32: position -> voxel index
+    rows: jax.Array  # (T/SLOTS_PER_ROW, 2*SLOTS_PER_ROW) int32
+    mask: int  # T - 1 (static)
 
 
 def build_table(coords: jax.Array, valid: jax.Array) -> VoxelTable:
+    """Parallel linear-probing insertion.
+
+    Each round, pending voxels claim their next probe slot; the smallest
+    voxel index wins an empty slot, losers retry one slot further. After
+    BUILD_PROBES rounds unplaced voxels (probability ~0 at load factor
+    <= 0.25) are dropped from the table — they would merely be missed as
+    neighbors.
+    """
+    m = coords.shape[0]
+    t = 1 << max(8 * m - 1, 7).bit_length()  # T >= 8M, load <= 0.125
+    mask = t - 1
+
     h = _spatial_hash(coords)
-    h = jnp.where(valid, h, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(h).astype(jnp.int32)
-    return VoxelTable(
-        coords=coords, valid=valid, sorted_hash=h[order], order=order
+    slot0 = (h & jnp.uint32(mask)).astype(jnp.int32)
+    idx = jnp.arange(m, dtype=jnp.int32)
+
+    slot_idx = jnp.full(t + 1, -1, jnp.int32)
+    pending = valid
+    for p in range(BUILD_PROBES):
+        target = (slot0 + p) & mask
+        tgt = jnp.where(pending, target, t)  # dump row for settled voxels
+        claim = (
+            jnp.full(t + 1, m, jnp.int32).at[tgt].min(idx)
+        )
+        empty = slot_idx[target] == -1
+        win = pending & empty & (claim[target] == idx)
+        slot_idx = slot_idx.at[jnp.where(win, target, t)].set(idx)
+        pending = pending & ~win
+
+    stored = jnp.clip(slot_idx, 0, m - 1)
+    slot_hash = jnp.where(
+        slot_idx >= 0,
+        _spatial_hash(coords[stored]).astype(jnp.int32),
+        0,
     )
+    slots = jnp.stack([slot_idx, slot_hash], axis=1)[:t]  # drop dump row
+    rows = slots.reshape(t // SLOTS_PER_ROW, 2 * SLOTS_PER_ROW)
+    return VoxelTable(coords=coords, valid=valid, rows=rows, mask=mask)
+
+
+def searchsorted_unrolled(
+    sorted_keys: jax.Array, queries: jax.Array
+) -> jax.Array:
+    """Vectorized lower-bound binary search with a static, unrolled trip
+    count — ``jnp.searchsorted``'s scan-based search is ~40x slower on TPU.
+
+    Returns, per query, the number of keys strictly less than it
+    (= ``searchsorted(..., side='left')``). Works for any ordered dtype.
+    """
+    m = sorted_keys.shape[0]
+    bits = max(m - 1, 1).bit_length()
+    count = jnp.zeros(queries.shape, jnp.int32)
+    for shift in range(bits - 1, -1, -1):
+        candidate = count + (1 << shift)
+        key = sorted_keys[jnp.clip(candidate - 1, 0, m - 1)]
+        ok = (candidate <= m) & (key < queries)
+        count = jnp.where(ok, candidate, count)
+    return count
 
 
 def lookup(table: VoxelTable, query_coords: jax.Array) -> jax.Array:
     """Index of each query coordinate in the table, or -1.
 
-    query_coords: (Q, 4) int32. Returns (Q,) int32.
-    """
-    m = table.coords.shape[0]
-    qh = _spatial_hash(query_coords)
-    start = jnp.searchsorted(table.sorted_hash, qh, side="left")
+    query_coords: (..., 4) int32. Returns (...,) int32.
 
-    found = jnp.full(query_coords.shape[0], -1, jnp.int32)
-    for p in range(PROBE):
-        slot = jnp.clip(start + p, 0, m - 1)
-        cand = table.order[slot]
-        same_hash = table.sorted_hash[slot] == qh
-        match = (
-            same_hash
-            & table.valid[cand]
-            & jnp.all(table.coords[cand] == query_coords, axis=-1)
-        )
-        found = jnp.where((found < 0) & match, cand, found)
-    return found
+    The probe loop matches on the stored 32-bit hash (1 row-gather per
+    probe); the winning candidate's coordinates are verified once at the
+    end. A full-hash collision inside one probe chain could shadow a later
+    true match (~2^-32 per pair) — the verify turns that into a missed
+    neighbor, never a wrong one.
+    """
+    shape = query_coords.shape[:-1]
+    q = query_coords.reshape(-1, 4)
+    qh = _spatial_hash(q).astype(jnp.int32)
+    slot0 = qh & table.mask
+
+    n_rows = table.rows.shape[0]
+    row_a = slot0 // SLOTS_PER_ROW
+    row_b = (row_a + 1) % n_rows
+    # 2 row gathers cover all LOOKUP_PROBES chain slots
+    data_a = table.rows[row_a]  # (Q, 16)
+    data_b = table.rows[row_b]
+    data = jnp.concatenate([data_a, data_b], axis=1)  # (Q, 32)
+
+    lane0 = slot0 % SLOTS_PER_ROW
+    found = jnp.full(q.shape[0], -1, jnp.int32)
+    for p in range(LOOKUP_PROBES):
+        lane = lane0 + p  # < 2 * SLOTS_PER_ROW for LOOKUP_PROBES <= 8
+        cand = jnp.take_along_axis(data, (2 * lane)[:, None], axis=1)[:, 0]
+        ch = jnp.take_along_axis(data, (2 * lane + 1)[:, None], axis=1)[:, 0]
+        match = (cand >= 0) & (ch == qh) & (found < 0)
+        found = jnp.where(match, cand, found)
+
+    # verify coordinates of the selected candidate
+    cand_coords = table.coords[jnp.clip(found, 0, table.coords.shape[0] - 1)]
+    ok = (found >= 0) & jnp.all(cand_coords == q, axis=-1)
+    return jnp.where(ok, found, -1).reshape(shape)
 
 
 def kernel_offsets(kernel_size: int = 3) -> jnp.ndarray:
@@ -116,14 +200,14 @@ def build_rulebook(
     table = build_table(coords, valid)
     offs = kernel_offsets(kernel_size)  # (K, 3)
 
-    def per_offset(off):
-        q = coords.at[:, 1:].add(off[None, :])
-        idx = lookup(table, q)
-        idx = jnp.where(valid & (idx >= 0), idx, m)
-        return idx
-
-    nbr = jax.vmap(per_offset)(offs)  # (K, M)
-    return nbr.T.astype(jnp.int32)  # (M, K)
+    # one batched lookup over all offsets: (K, M, 4) queries
+    k = offs.shape[0]
+    q = jnp.broadcast_to(coords[None, :, :], (k, m, 4)).at[:, :, 1:].add(
+        offs[:, None, :]
+    )
+    idx = lookup(table, q)  # (K, M)
+    idx = jnp.where(valid[None, :] & (idx >= 0), idx, m)
+    return idx.T.astype(jnp.int32)  # (M, K)
 
 
 def subm_conv_apply(
@@ -134,24 +218,23 @@ def subm_conv_apply(
 ) -> jax.Array:
     """Submanifold conv: out[i] = sum_k W[k] @ feats[nbr_k(i)].
 
-    lax.scan over kernel offsets keeps peak memory at one (M, Cin) gather
-    while every step is an MXU matmul.
+    Unrolled over kernel offsets: K gather+matmul pairs that XLA schedules
+    back-to-back in one program (a lax.scan here serializes ~K steps per
+    conv with loop bookkeeping and was ~20x slower end-to-end on TPU).
+    Peak extra memory stays at one (M, Cin) gather.
     """
     m, cin = feats.shape
+    k = weights.shape[0]
     cout = weights.shape[-1]
     feats_pad = jnp.concatenate(
         [feats * valid[:, None], jnp.zeros((1, cin), feats.dtype)], axis=0
     )
-
-    def step(acc, inp):
-        w_k, nbr_k = inp  # (Cin, Cout), (M,)
-        gathered = feats_pad[nbr_k]  # (M, Cin)
-        return acc + jnp.dot(
-            gathered, w_k, preferred_element_type=jnp.float32
-        ), None
-
-    init = jnp.zeros((m, cout), jnp.float32)
-    out, _ = jax.lax.scan(step, init, (weights, rulebook.T))
+    out = jnp.zeros((m, cout), jnp.float32)
+    for j in range(k):
+        gathered = feats_pad[rulebook[:, j]]  # (M, Cin)
+        out = out + jnp.dot(
+            gathered, weights[j], preferred_element_type=jnp.float32
+        )
     return out * valid[:, None]
 
 
