@@ -161,52 +161,33 @@ class SerializedAttention(nn.Module):
         p = ps.feat.shape[0]
         assert p % k == 0, f"point count {p} not divisible by patch {k}"
         d = c // h
-        scale = d**-0.5
 
         order = ps.orders[self.order_index]
         inverse = ps.inverses[self.order_index]
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(ps.feat)
         qkv = qkv[order].reshape(p // k, k, 3, h, d)
-        q, kk, v = (
-            jnp.moveaxis(qkv, 2, 0).astype(jnp.float32)
-        )  # each (W, K, H, D)
+        q, kk, v = jnp.moveaxis(qkv, 2, 0).astype(jnp.float32)
 
         q = jnp.moveaxis(q, 2, 1)  # (W, H, K, D)
         kk = jnp.moveaxis(kk, 2, 1)
         v = jnp.moveaxis(v, 2, 1)
 
-        attn = (
-            jnp.einsum(
-                "whkd,whjd->whkj",
-                q * scale,
-                kk,
-                preferred_element_type=jnp.float32,
-            )
-        )  # (W, H, K, K)
-
         b_sorted = ps.batch[order].reshape(p // k, k)
         v_sorted = ps.valid[order].reshape(p // k, k)
-        pair_ok = (
-            (b_sorted[:, :, None] == b_sorted[:, None, :])
-            & v_sorted[:, :, None]
-            & v_sorted[:, None, :]
-        )[:, None, :, :]  # (W, 1, K, K)
+        seg = jnp.where(v_sorted, b_sorted, -1).astype(jnp.int32)
 
-        attn = jnp.where(pair_ok, attn, -jnp.inf)
-        attn_max = jnp.max(attn, axis=-1, keepdims=True)
-        attn_max = jnp.where(jnp.isfinite(attn_max), attn_max, 0.0)
-        weights = jnp.exp(attn - attn_max)
-        weights = jnp.where(pair_ok, weights, 0.0)
-        denom = jnp.sum(weights, axis=-1, keepdims=True)
-        weights = weights / jnp.maximum(denom, 1e-20)
+        # Pallas flash-window kernel on TPU (scores stay in VMEM); the
+        # einsum reference path elsewhere (CPU tests) — identical math.
+        if jax.default_backend() == "tpu":
+            from ..ops.attention import window_attention
 
-        out = jnp.einsum(
-            "whkj,whjd->whkd",
-            weights,
-            v,
-            preferred_element_type=jnp.float32,
-        )
+            out = window_attention(q, kk, v, seg)
+        else:
+            from ..ops.attention import window_attention_reference
+
+            out = window_attention_reference(q, kk, v, seg)
+
         out = jnp.moveaxis(out, 1, 2).reshape(p, c)[inverse]
         out = nn.Dense(c, name="proj")(out)
         return out

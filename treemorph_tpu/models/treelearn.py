@@ -127,11 +127,19 @@ class ResidualBlock(nn.Module):
 
 
 class UBlock(nn.Module):
-    """Recursive U-Net over voxel levels (reference blocks.py:83-151)."""
+    """Recursive U-Net over voxel levels (reference blocks.py:83-151).
+
+    ``level_shrink`` halves (by default) the static capacity of each
+    coarser level — real clouds coarsen >=2x per stride-2 level, and the
+    sparse engine's gather costs scale with the padded size. Set 1 to
+    disable compaction.
+    """
 
     n_planes: Sequence[int]
     block_reps: int = 2
     kernel_size: int = 3
+    level_shrink: int = 2
+    min_capacity: int = 256
 
     @nn.compact
     def __call__(self, feats, coords, valid, train: bool):
@@ -148,7 +156,11 @@ class UBlock(nn.Module):
 
             d = MaskedBatchNorm()(x, valid, train)
             d = nn.relu(d)
-            ds: DownsampleMap = build_downsample(coords, valid)
+            cap = max(
+                coords.shape[0] // self.level_shrink, self.min_capacity
+            )
+            cap = min(cap, coords.shape[0])
+            ds: DownsampleMap = build_downsample(coords, valid, cap)
             w_down = self.param(
                 "down_kernel",
                 _KERNEL_INIT,
@@ -160,6 +172,8 @@ class UBlock(nn.Module):
                 self.n_planes[1:],
                 self.block_reps,
                 self.kernel_size,
+                self.level_shrink,
+                self.min_capacity,
                 name="u",
             )(d, ds.coarse_coords, ds.coarse_valid, train)
 

@@ -1,0 +1,142 @@
+"""Pallas TPU kernel: serialized-window attention for PTv3.
+
+The reference bounds attention cost by attending within contiguous
+1024-point windows of a space-filling-curve order, via flash-attn's varlen
+CUDA kernel (``PointTransformerV3/blocks.py:493-499``). On TPU a whole
+window's (K, K) score tile fits in VMEM (1024^2 f32 = 4 MB), so no online
+softmax is needed: one grid cell per (window, head) computes
+``softmax(Q K^T / sqrt(d) + mask) V`` entirely on-chip — the scores matrix
+never touches HBM (the jnp formulation materializes (W, H, K, K), which is
+~8 GB at a million points).
+
+Masking: keys are valid for a query iff both slots are real points of the
+same batch element (segment ids), exactly like the jnp reference path in
+:class:`treemorph_tpu.models.ptv3.SerializedAttention`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _window_attention_kernel(
+    seg_ref,  # (1, K) int32 segment ids (-1 = padding)
+    q_ref,  # (1, 1, K, D)
+    k_ref,  # (1, 1, K, D)
+    v_ref,  # (1, 1, K, D)
+    o_ref,  # (1, 1, K, D)
+    *,
+    scale: float,
+):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    seg = seg_ref[0]  # (K,)
+
+    s = jax.lax.dot_general(
+        q * scale,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (K, K)
+
+    ok = (seg[:, None] == seg[None, :]) & (seg >= 0)[:, None] & (
+        seg >= 0
+    )[None, :]
+    s = jnp.where(ok, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    e = jnp.where(ok, e, 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    w = e / jnp.maximum(denom, 1e-20)
+
+    o = jax.lax.dot_general(
+        w,
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def window_attention(
+    q: jax.Array,  # (W, H, K, D)
+    k: jax.Array,  # (W, H, K, D)
+    v: jax.Array,  # (W, H, K, D)
+    seg: jax.Array,  # (W, K) int32, -1 for padding slots
+    interpret: bool = False,
+) -> jax.Array:
+    """Masked full-window attention; returns (W, H, K, D) float32."""
+    w_count, h, kk, d = q.shape
+    scale = d**-0.5
+
+    kernel = functools.partial(_window_attention_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((w_count, h, kk, d), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(w_count, h),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, kk), lambda w, hh: (w, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, kk, d), lambda w, hh: (w, hh, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, kk, d), lambda w, hh: (w, hh, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, kk, d), lambda w, hh: (w, hh, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, kk, d), lambda w, hh: (w, hh, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(seg, q, k, v)
+
+
+def window_attention_reference(q, k, v, seg):
+    """jnp reference implementation (for tests and CPU fallback)."""
+    d = q.shape[-1]
+    s = jnp.einsum(
+        "whkd,whjd->whkj",
+        q.astype(jnp.float32) * d**-0.5,
+        k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    ok = (
+        (seg[:, None, :, None] == seg[:, None, None, :])
+        & (seg >= 0)[:, None, :, None]
+        & (seg >= 0)[:, None, None, :]
+    )
+    s = jnp.where(ok, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.where(ok, jnp.exp(s - m), 0.0)
+    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+    return jnp.einsum(
+        "whkj,whjd->whkd",
+        e / denom,
+        v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )

@@ -49,6 +49,18 @@ def _spatial_hash(coords: jax.Array) -> jax.Array:
     return h
 
 
+def _spatial_hash2(coords: jax.Array) -> jax.Array:
+    """Independent second hash used as the stored verifier."""
+    c = coords.astype(jnp.uint32)
+    h = (
+        (c[..., 0] * jnp.uint32(40503))
+        ^ (c[..., 1] * jnp.uint32(3267000013))
+        ^ (c[..., 2] * jnp.uint32(2860486313))
+        ^ (c[..., 3] * jnp.uint32(805459861))
+    )
+    return h
+
+
 BUILD_PROBES = 6  # linear-probing rounds when inserting
 LOOKUP_PROBES = 6  # must be >= BUILD_PROBES
 
@@ -107,7 +119,7 @@ def build_table(coords: jax.Array, valid: jax.Array) -> VoxelTable:
     stored = jnp.clip(slot_idx, 0, m - 1)
     slot_hash = jnp.where(
         slot_idx >= 0,
-        _spatial_hash(coords[stored]).astype(jnp.int32),
+        _spatial_hash2(coords[stored]).astype(jnp.int32),
         0,
     )
     slots = jnp.stack([slot_idx, slot_hash], axis=1)[:t]  # drop dump row
@@ -140,15 +152,15 @@ def lookup(table: VoxelTable, query_coords: jax.Array) -> jax.Array:
 
     query_coords: (..., 4) int32. Returns (...,) int32.
 
-    The probe loop matches on the stored 32-bit hash (1 row-gather per
-    probe); the winning candidate's coordinates are verified once at the
-    end. A full-hash collision inside one probe chain could shadow a later
-    true match (~2^-32 per pair) — the verify turns that into a missed
-    neighbor, never a wrong one.
+    A match requires hash1 agreement (slot position, ~log2(T) bits) AND
+    stored-hash2 equality (32 bits) — a >50-bit discriminator, so no
+    explicit coordinate-verify gather is needed (false-match probability
+    per forward pass is ~1e-8 even at 27M queries).
     """
     shape = query_coords.shape[:-1]
     q = query_coords.reshape(-1, 4)
     qh = _spatial_hash(q).astype(jnp.int32)
+    qh2 = _spatial_hash2(q).astype(jnp.int32)
     slot0 = qh & table.mask
 
     n_rows = table.rows.shape[0]
@@ -160,18 +172,25 @@ def lookup(table: VoxelTable, query_coords: jax.Array) -> jax.Array:
     data = jnp.concatenate([data_a, data_b], axis=1)  # (Q, 32)
 
     lane0 = slot0 % SLOTS_PER_ROW
+    # lane selection as one-hot masked reductions (VPU) — a
+    # take_along_axis here compiles to another general gather
+    cand_lanes = data[:, 0::2]  # (Q, 16) stored indices
+    hash_lanes = data[:, 1::2]  # (Q, 16) stored hashes
+    lane_iota = jnp.arange(2 * SLOTS_PER_ROW, dtype=jnp.int32)[None, :]
     found = jnp.full(q.shape[0], -1, jnp.int32)
     for p in range(LOOKUP_PROBES):
-        lane = lane0 + p  # < 2 * SLOTS_PER_ROW for LOOKUP_PROBES <= 8
-        cand = jnp.take_along_axis(data, (2 * lane)[:, None], axis=1)[:, 0]
-        ch = jnp.take_along_axis(data, (2 * lane + 1)[:, None], axis=1)[:, 0]
-        match = (cand >= 0) & (ch == qh) & (found < 0)
+        onehot = lane_iota == (lane0 + p)[:, None]  # (Q, 16)
+        cand = jnp.sum(jnp.where(onehot, cand_lanes, 0), axis=1)
+        has = jnp.any(onehot & (cand_lanes >= 0), axis=1)
+        ch = jnp.sum(jnp.where(onehot, hash_lanes, 0), axis=1)
+        match = has & (ch == qh2) & (found < 0)
         found = jnp.where(match, cand, found)
 
-    # verify coordinates of the selected candidate
-    cand_coords = table.coords[jnp.clip(found, 0, table.coords.shape[0] - 1)]
-    ok = (found >= 0) & jnp.all(cand_coords == q, axis=-1)
-    return jnp.where(ok, found, -1).reshape(shape)
+    # Negative coordinates are never in the table (grid coords are >= 0),
+    # and XOR-multiply hashes collide SYSTEMATICALLY under paired sign
+    # flips (-a*B ^ -c*C == a*B ^ c*C for odd B, C) — mask them out.
+    non_negative = jnp.all(q >= 0, axis=-1)
+    return jnp.where(non_negative, found, -1).reshape(shape)
 
 
 def kernel_offsets(kernel_size: int = 3) -> jnp.ndarray:
@@ -248,11 +267,23 @@ class DownsampleMap(NamedTuple):
     child_offset: jax.Array  # (M,) int32 in [0, 8): fine voxel's octant
 
 
-@jax.jit
-def build_downsample(coords: jax.Array, valid: jax.Array) -> DownsampleMap:
+@partial(jax.jit, static_argnames=("cap",))
+def build_downsample(
+    coords: jax.Array, valid: jax.Array, cap: int | None = None
+) -> DownsampleMap:
     """Stride-2 coarsening of a voxel set (reference's SparseConv3d k=2 s=2
-    downsample path, TreeLearn/blocks.py:101-112)."""
+    downsample path, TreeLearn/blocks.py:101-112).
+
+    ``cap`` bounds the static size of the coarse level (level compaction:
+    real clouds coarsen >= 2x per stride-2 level, so carrying the full
+    fine-level padding through every level wastes the dominant
+    rulebook/gather cost). Coarse voxels beyond ``cap`` — possible only on
+    adversarial inputs that barely coarsen — are dropped and masked
+    (``parent == cap`` marks dropped children).
+    """
     m = coords.shape[0]
+    if cap is None:
+        cap = m
     b = coords[:, 0]
     fine = coords[:, 1:]
     coarse = fine >> 1  # floor div 2 (coords are non-negative)
@@ -272,23 +303,24 @@ def build_downsample(coords: jax.Array, valid: jax.Array) -> DownsampleMap:
     s_id = jnp.cumsum(new.astype(jnp.int32)) - 1
     num_coarse = jnp.where(s_valid, s_id + 1, 0).max().astype(jnp.int32)
 
-    parent = jnp.zeros(m, jnp.int32).at[perm].set(s_id)
+    parent_full = jnp.zeros(m, jnp.int32).at[perm].set(s_id)
+    parent = jnp.minimum(parent_full, cap)  # cap = dump row for overflow
     coarse_b = jax.ops.segment_max(
-        jnp.where(valid, b, -1), parent, num_segments=m
-    )
+        jnp.where(valid, b, -1), parent, num_segments=cap + 1
+    )[:cap]
     coarse_xyz = jax.ops.segment_max(
-        jnp.where(valid[:, None], coarse, -1), parent, num_segments=m
-    )
+        jnp.where(valid[:, None], coarse, -1), parent, num_segments=cap + 1
+    )[:cap]
     coarse_coords = jnp.concatenate(
         [coarse_b[:, None], coarse_xyz], axis=1
     ).astype(jnp.int32)
     counts = jax.ops.segment_sum(
-        valid.astype(jnp.int32), parent, num_segments=m
-    )
+        valid.astype(jnp.int32), parent, num_segments=cap + 1
+    )[:cap]
     return DownsampleMap(
         coarse_coords=coarse_coords,
         coarse_valid=counts > 0,
-        num_coarse=num_coarse,
+        num_coarse=jnp.minimum(num_coarse, cap),
         parent=parent,
         child_offset=octant.astype(jnp.int32),
     )
@@ -307,6 +339,7 @@ def down_conv_apply(
     tensor (tens of GB at 1M voxels).
     """
     m, cin = feats.shape
+    cap = ds.coarse_coords.shape[0]
     cout = weights.shape[-1]
     masked = feats * valid[:, None]
     contrib = jnp.zeros((m, cout), jnp.float32)
@@ -315,7 +348,7 @@ def down_conv_apply(
         contrib = contrib + jnp.dot(
             masked * sel, weights[k], preferred_element_type=jnp.float32
         )
-    out = jax.ops.segment_sum(contrib, ds.parent, num_segments=m)
+    out = jax.ops.segment_sum(contrib, ds.parent, num_segments=cap + 1)[:cap]
     return out * ds.coarse_valid[:, None]
 
 
@@ -332,8 +365,11 @@ def inverse_conv_apply(
     (M, Cin, Cout) gathered-weights tensor.
     """
     m = ds.parent.shape[0]
+    cap = ds.coarse_coords.shape[0]
     cout = weights.shape[-1]
-    gathered = coarse_feats[ds.parent]  # (M, Cin)
+    parent_ok = ds.parent < cap
+    gathered = coarse_feats[jnp.clip(ds.parent, 0, cap - 1)]  # (M, Cin)
+    gathered = gathered * parent_ok[:, None]
     out = jnp.zeros((m, cout), jnp.float32)
     for k in range(8):
         sel = (ds.child_offset == k).astype(gathered.dtype)[:, None]
