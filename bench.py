@@ -31,19 +31,23 @@ def main():
     from treemorph_tpu.fixtures import synthetic_qsm, synthetic_tree_cloud
     from treemorph_tpu.models import TreeLearn
 
-    # Synthetic batch: 8 trees x 131072 points = ~1.05M points.
+    # Synthetic batch: 8 trees x 131072 points = ~1.05M points, at the
+    # density of the pipeline's upsampled clouds (>= 1M points per tree on
+    # ~10-20 m^2 of surface, i.e. ~20 points per 2 cm voxel).
     b, n = 8, 131072
     rng = np.random.default_rng(0)
     clouds = []
     for i in range(b):
         qsm = synthetic_qsm(rng=rng)
-        pts, _ = synthetic_tree_cloud(qsm=qsm, points_per_m2=3000, rng=rng)
+        pts, _ = synthetic_tree_cloud(
+            qsm=qsm, points_per_m2=40000, noise_scale=0.004, rng=rng
+        )
         if len(pts) >= n:
             pts = pts[:n]
         else:
             reps = -(-n // len(pts))
             pts = np.tile(pts, (reps, 1))[:n] + rng.normal(
-                0, 0.01, (n, 3)
+                0, 0.005, (n, 3)
             ).astype(np.float32)
         clouds.append(pts)
     coords = jnp.asarray(np.concatenate(clouds))  # (B*N, 3)
@@ -54,7 +58,14 @@ def main():
     valid = jnp.ones(b * n, bool)
 
     model = TreeLearn(
-        channels=32, num_blocks=3, dim_feat=4, voxel_size=0.02, batch_size=b
+        channels=32,
+        num_blocks=3,
+        dim_feat=4,
+        voxel_size=0.02,
+        batch_size=b,
+        # dense clouds dedupe heavily (measured ~187k voxels for this
+        # 1.05M-point batch); bound the voxel arrays accordingly
+        voxel_capacity_divisor=4,
     )
     init = jax.jit(
         lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)

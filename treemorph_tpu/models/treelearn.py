@@ -217,7 +217,14 @@ class MLPHead(nn.Module):
 
 
 class TreeLearnBackbone(nn.Module):
-    """Voxelize -> sparse U-Net -> per-point features."""
+    """Voxelize -> sparse U-Net -> per-point features.
+
+    ``voxel_capacity_divisor`` statically bounds the voxel arrays at
+    P / divisor: dense (e.g. upsampled) clouds put many points per voxel
+    and every sparse-engine cost scales with the padded voxel count.
+    Overflow voxels (only if real voxel count exceeds the bound) are
+    dropped and masked.
+    """
 
     channels: int = 32
     num_blocks: int = 7
@@ -226,9 +233,13 @@ class TreeLearnBackbone(nn.Module):
     use_coords: bool = False
     voxel_size: float = 0.1
     batch_size: int = 1  # static batch element count
+    voxel_capacity_divisor: int = 1
 
     @nn.compact
     def __call__(self, coords, feats, batch_ids, valid, train: bool):
+        capacity = max(
+            coords.shape[0] // self.voxel_capacity_divisor, 256
+        )
         vox = voxelize_treelearn_features(
             coords,
             feats,
@@ -238,6 +249,7 @@ class TreeLearnBackbone(nn.Module):
             self.batch_size,
             use_coords=self.use_coords,
             use_feats=self.use_feats,
+            capacity=min(capacity, coords.shape[0]),
         )
         v_coords = vox.voxel_coords
         v_valid = vox.voxel_valid
@@ -254,8 +266,13 @@ class TreeLearnBackbone(nn.Module):
         x = nn.relu(x)
 
         # voxel -> point unprojection (reference forward_head,
-        # TreeLearn.py:132-144)
-        point_feats = x[vox.point_to_voxel] * valid[:, None]
+        # TreeLearn.py:132-144); p2v == capacity marks overflow points
+        cap = vox.voxel_feats.shape[0]
+        p2v = vox.point_to_voxel
+        in_range = p2v < cap
+        point_feats = x[jnp.clip(p2v, 0, cap - 1)] * (
+            valid & in_range
+        )[:, None]
         return point_feats, vox
 
 
@@ -277,6 +294,7 @@ class TreeLearn(nn.Module):
     use_coords: bool = False
     voxel_size: float = 0.1
     batch_size: int = 1  # static batch element count
+    voxel_capacity_divisor: int = 1
 
     @nn.compact
     def __call__(
@@ -299,6 +317,7 @@ class TreeLearn(nn.Module):
             use_coords=self.use_coords,
             voxel_size=self.voxel_size,
             batch_size=self.batch_size,
+            voxel_capacity_divisor=self.voxel_capacity_divisor,
             name="backbone",
         )
         point_feats, vox = backbone(coords, feats, batch_ids, valid, train)

@@ -44,7 +44,7 @@ class VoxelizedCloud(NamedTuple):
     spatial_shape: jax.Array  # (3,) int32 max grid extent over the batch
 
 
-@partial(jax.jit, static_argnames=("batch_size",))
+@partial(jax.jit, static_argnames=("batch_size", "capacity"))
 def voxelize(
     coords: jax.Array,
     feats: jax.Array,
@@ -52,6 +52,7 @@ def voxelize(
     valid: jax.Array,
     voxel_size: float | jax.Array,
     batch_size: int,
+    capacity: int | None = None,
 ) -> VoxelizedCloud:
     """Voxelize a flat-concatenated batch of clouds.
 
@@ -62,11 +63,18 @@ def voxelize(
         valid: (N,) bool, False for padding points.
         voxel_size: edge length of the cubic voxels.
         batch_size: static number of batch elements.
+        capacity: static bound on the voxel count (default N). Dense scans
+            dedupe heavily (upsampled pipeline clouds put ~20 points in a
+            2 cm voxel), and every downstream sparse-conv cost scales with
+            the padded voxel array size — so real deployments should set
+            this well below N. Points whose voxel overflows the capacity
+            are masked out (``point_to_voxel == capacity``).
 
     Returns a :class:`VoxelizedCloud`; invalid points map to trailing padding
-    voxels (``point_to_voxel`` is still in-range so gathers are safe).
+    voxels (``point_to_voxel`` is clamped in-range so gathers are safe).
     """
     n = coords.shape[0]
+    cap = capacity if capacity is not None else n
     batch_ids = jnp.where(valid, batch_ids.astype(jnp.int32), INVALID_BATCH)
 
     # Per-batch-element min corner (parity with the reference's per-element
@@ -99,24 +107,31 @@ def voxelize(
     s_voxel_id = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
 
     num_voxels = jnp.where(s_valid, s_voxel_id + 1, 0).max()
+    num_voxels = jnp.minimum(num_voxels, cap)
 
-    # Scatter voxel ids back to original point order.
-    point_to_voxel = jnp.zeros(n, jnp.int32).at[perm].set(s_voxel_id)
+    # Scatter voxel ids back to original point order; overflow -> cap.
+    point_to_voxel = jnp.zeros(n, jnp.int32).at[perm].set(
+        jnp.minimum(s_voxel_id, cap)
+    )
 
     # Per-voxel mean features and representative coordinates.
     weights = valid.astype(jnp.float32)
     sums = jax.ops.segment_sum(
-        feats * weights[:, None], point_to_voxel, num_segments=n
-    )
-    counts = jax.ops.segment_sum(weights, point_to_voxel, num_segments=n)
+        feats * weights[:, None], point_to_voxel, num_segments=cap + 1
+    )[:cap]
+    counts = jax.ops.segment_sum(
+        weights, point_to_voxel, num_segments=cap + 1
+    )[:cap]
     voxel_feats = sums / jnp.maximum(counts, 1.0)[:, None]
 
     voxel_batch = jax.ops.segment_max(
-        jnp.where(valid, batch_ids, -1), point_to_voxel, num_segments=n
-    )
+        jnp.where(valid, batch_ids, -1), point_to_voxel, num_segments=cap + 1
+    )[:cap]
     voxel_grid = jax.ops.segment_max(
-        jnp.where(valid[:, None], grid, -1), point_to_voxel, num_segments=n
-    )
+        jnp.where(valid[:, None], grid, -1),
+        point_to_voxel,
+        num_segments=cap + 1,
+    )[:cap]
     voxel_coords = jnp.concatenate(
         [voxel_batch[:, None], voxel_grid], axis=1
     ).astype(jnp.int32)
@@ -146,6 +161,7 @@ def voxelize_treelearn_features(
     batch_size: int,
     use_coords: bool = False,
     use_feats: bool = True,
+    capacity: int | None = None,
 ) -> VoxelizedCloud:
     """TreeLearn-flavored voxel features: [feats..., coords] layout.
 
@@ -154,7 +170,10 @@ def voxelize_treelearn_features(
     reordered to features-first.
     """
     stacked = jnp.concatenate([coords, feats], axis=1)
-    out = voxelize(coords, stacked, batch_ids, valid, voxel_size, batch_size)
+    out = voxelize(
+        coords, stacked, batch_ids, valid, voxel_size, batch_size,
+        capacity=capacity,
+    )
     vf = out.voxel_feats
     coord_part = vf[:, :3] if use_coords else jnp.ones_like(vf[:, :3])
     feat_part = vf[:, 3:] if use_feats else jnp.ones_like(vf[:, 3:])
