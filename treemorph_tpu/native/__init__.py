@@ -1,0 +1,132 @@
+"""Native host-side runtime (C++ via ctypes).
+
+The QSM stage's inner loops run on the host (inherently sequential sphere
+following); the per-sphere clustering math lives in ``qsm_core.cpp`` behind
+a plain C ABI. The shared library is built on first import with the
+system ``g++`` (no pybind11 needed); every entry point has a pure-Python
+fallback so the framework works without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+logger = logging.getLogger("treemorph_tpu.native")
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "qsm_core.cpp")
+_LIB = os.path.join(_HERE, "libqsm_core.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                _SRC,
+                "-o",
+                _LIB,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError) as e:
+        logger.info("native build unavailable (%s); using Python fallbacks", e)
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
+        _SRC
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        return None
+    i32 = ctypes.c_int32
+    f32 = ctypes.c_float
+    pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    pi = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.dbscan_precomputed.argtypes = [pf, i32, f32, i32, pi]
+    lib.angular_distance_matrix.argtypes = [pf, i32, pf]
+    lib.euclidean_cluster.argtypes = [pf, i32, f32, i32, pi]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def dbscan_precomputed(
+    dist: np.ndarray, eps: float, min_samples: int
+) -> np.ndarray:
+    """DBSCAN labels over a precomputed distance matrix (sklearn
+    semantics); C++ when available, sklearn otherwise."""
+    lib = _load()
+    n = dist.shape[0]
+    if lib is not None:
+        dist = np.ascontiguousarray(dist, np.float32)
+        labels = np.empty(n, np.int32)
+        lib.dbscan_precomputed(dist, n, float(eps), int(min_samples), labels)
+        return labels
+    from sklearn.cluster import DBSCAN
+
+    return DBSCAN(eps=eps, min_samples=min_samples, metric="precomputed")\
+        .fit_predict(dist)
+
+
+def angular_cluster(
+    unit_vectors: np.ndarray, eps: float, min_samples: int
+) -> np.ndarray:
+    """Angular DBSCAN over unit vectors — the per-sphere candidate
+    clustering of the QSM engine (reference
+    QSMFittingDepthFirst.py:115-148)."""
+    lib = _load()
+    n = len(unit_vectors)
+    if lib is not None:
+        u = np.ascontiguousarray(unit_vectors, np.float32)
+        dist = np.empty((n, n), np.float32)
+        lib.angular_distance_matrix(u, n, dist)
+        labels = np.empty(n, np.int32)
+        lib.dbscan_precomputed(dist, n, float(eps), int(min_samples), labels)
+        return labels
+    dots = np.clip(unit_vectors @ unit_vectors.T, -1.0, 1.0)
+    return dbscan_precomputed(
+        np.arccos(dots).astype(np.float32), eps, min_samples
+    )
+
+
+def euclidean_cluster(
+    points: np.ndarray, eps: float, min_cluster_size: int
+) -> np.ndarray:
+    """Flood-fill euclidean clustering (reference :859-886)."""
+    lib = _load()
+    if lib is not None:
+        pts = np.ascontiguousarray(points, np.float32)
+        labels = np.empty(len(points), np.int32)
+        lib.euclidean_cluster(
+            pts, len(points), float(eps), int(min_cluster_size), labels
+        )
+        return labels
+    from ..pipeline.qsm.geometry import cluster_labels_euclidian
+
+    return cluster_labels_euclidian(points, eps, min_cluster_size)

@@ -160,11 +160,12 @@ def get_candidate_centers_and_spreads(
         vectors = shell - sphere.center
         norms = np.linalg.norm(vectors, axis=1, keepdims=True)
         unit = vectors / np.maximum(norms, 1e-9)
-        dots = np.clip(unit @ unit.T, -1.0, 1.0)
-        angular = np.arccos(dots)
-        labels = DBSCAN(
-            eps=eps, min_samples=min_samples, metric="precomputed"
-        ).fit_predict(angular)
+        # native C++ path (treemorph_tpu.native) — this clustering runs
+        # thousands of times per tree on small matrices where Python/
+        # sklearn per-call overhead dominates; falls back to sklearn.
+        from ...native import angular_cluster
+
+        labels = angular_cluster(unit, eps, min_samples)
 
     valid_labels = set(labels) - {-1}
     if not valid_labels:
