@@ -214,19 +214,37 @@ def build_rulebook(
 
     Shared by all convs at one resolution level (the reference's
     ``indice_key`` mechanism, TreeLearn/blocks.py:59-72).
+
+    Only the first floor(K/2) offsets are looked up; the center column is
+    the identity, and each remaining column k is the REVERSE of column
+    K-1-k (``kernel_offsets`` enumerates antisymmetrically:
+    offs[k] == -offs[K-1-k]), filled by one scatter per offset — halving
+    the latency-bound hash-table traffic.
     """
     m = coords.shape[0]
     table = build_table(coords, valid)
     offs = kernel_offsets(kernel_size)  # (K, 3)
-
-    # one batched lookup over all offsets: (K, M, 4) queries
     k = offs.shape[0]
-    q = jnp.broadcast_to(coords[None, :, :], (k, m, 4)).at[:, :, 1:].add(
-        offs[:, None, :]
+    half = k // 2
+    arange_m = jnp.arange(m, dtype=jnp.int32)
+
+    q = jnp.broadcast_to(coords[None, :, :], (half, m, 4)).at[:, :, 1:].add(
+        offs[:half, None, :]
     )
-    idx = lookup(table, q)  # (K, M)
+    idx = lookup(table, q)  # (half, M)
     idx = jnp.where(valid[None, :] & (idx >= 0), idx, m)
-    return idx.T.astype(jnp.int32)  # (M, K)
+
+    columns = [None] * k
+    for j in range(half):
+        columns[j] = idx[j]
+        # reverse: i is a neighbor of idx[j, i] at the mirrored offset
+        target = jnp.where(idx[j] < m, idx[j], m)
+        rev = (
+            jnp.full(m + 1, m, jnp.int32).at[target].set(arange_m)[:m]
+        )
+        columns[k - 1 - j] = rev
+    columns[half] = jnp.where(valid, arange_m, m)  # center = identity
+    return jnp.stack(columns, axis=1).astype(jnp.int32)  # (M, K)
 
 
 def subm_conv_apply(
