@@ -27,7 +27,9 @@ NEG_INF = -1e30
 
 
 def _window_attention_kernel(
-    seg_ref,  # (1, K) int32 segment ids (-1 = padding)
+    seg_row_ref,  # (1, 1, K) int32 segment ids (-1 = padding)
+    seg_col_ref,  # (1, K, 1) int32 — same data, pre-shaped on the host:
+    #               Mosaic rejects in-kernel 1D->2D bool reshapes
     q_ref,  # (1, 1, K, D)
     k_ref,  # (1, 1, K, D)
     v_ref,  # (1, 1, K, D)
@@ -38,7 +40,8 @@ def _window_attention_kernel(
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
-    seg = seg_ref[0]  # (K,)
+    seg_row = seg_row_ref[0]  # (1, K)
+    seg_col = seg_col_ref[0]  # (K, 1)
 
     s = jax.lax.dot_general(
         q * scale,
@@ -47,9 +50,7 @@ def _window_attention_kernel(
         preferred_element_type=jnp.float32,
     )  # (K, K)
 
-    ok = (seg[:, None] == seg[None, :]) & (seg >= 0)[:, None] & (
-        seg >= 0
-    )[None, :]
+    ok = (seg_col == seg_row) & (seg_col >= 0) & (seg_row >= 0)
     s = jnp.where(ok, s, NEG_INF)
 
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -80,6 +81,8 @@ def window_attention(
     scale = d**-0.5
 
     kernel = functools.partial(_window_attention_kernel, scale=scale)
+    seg_row = seg[:, None, :]  # (W, 1, K)
+    seg_col = seg[:, :, None]  # (W, K, 1)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((w_count, h, kk, d), jnp.float32),
@@ -87,7 +90,11 @@ def window_attention(
             grid=(w_count, h),
             in_specs=[
                 pl.BlockSpec(
-                    (1, kk), lambda w, hh: (w, 0),
+                    (1, 1, kk), lambda w, hh: (w, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, kk, 1), lambda w, hh: (w, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -112,7 +119,7 @@ def window_attention(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(seg, q, k, v)
+    )(seg_row, seg_col, q, k, v)
 
 
 def window_attention_reference(q, k, v, seg):
