@@ -63,9 +63,11 @@ def main():
         dim_feat=4,
         voxel_size=0.02,
         batch_size=b,
-        # dense clouds dedupe heavily (measured ~187k voxels for this
-        # 1.05M-point batch); bound the voxel arrays accordingly
+        # dense clouds dedupe heavily (measured ~187k voxels / ~36k bricks
+        # for this 1.05M-point batch); bound the static arrays accordingly
         voxel_capacity_divisor=4,
+        engine="brick",
+        brick_divisor=6,  # cap = 262k/6 ~ 43k bricks >= 36k measured
     )
     init = jax.jit(
         lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)

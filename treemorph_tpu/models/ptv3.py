@@ -264,16 +264,25 @@ class PTv3Block(nn.Module):
 
 class SerializedPooling(nn.Module):
     """Stride-2 pooling by curve-code clustering
-    (reference blocks.py:626-729)."""
+    (reference blocks.py:626-729).
+
+    ``cap`` statically compacts the pooled level (coarse cluster ids are
+    contiguous from 0, so slicing keeps every cluster as long as the
+    count fits; overflow clusters — only on inputs that barely coarsen —
+    are dropped and masked). Must be a multiple of the attention patch
+    size.
+    """
 
     out_channels: int
     reduce: str = "max"
     depth: int = 16
     order_names: Sequence[str] = DEFAULT_ORDERS
+    cap: int | None = None
 
     @nn.compact
     def __call__(self, ps: PointSet, train: bool, shuffle_rng=None):
         p = ps.feat.shape[0]
+        cap = self.cap if self.cap is not None else p
         order0 = ps.orders[0]
         # cluster key: code >> 3 (one curve level) on the first order
         hi = ps.code_hi[0][order0]
@@ -291,9 +300,12 @@ class SerializedPooling(nn.Module):
         new = jnp.where(s_valid, new, True)
         s_cluster = jnp.cumsum(new.astype(jnp.int32)) - 1
         num_clusters = jnp.where(s_valid, s_cluster + 1, 0).max()
+        num_clusters = jnp.minimum(num_clusters, cap)
 
-        # scatter cluster ids back to original point order
-        cluster = jnp.zeros(p, jnp.int32).at[order0].set(s_cluster)
+        # scatter cluster ids back to original point order; cap = dump
+        cluster = jnp.zeros(p, jnp.int32).at[order0].set(
+            jnp.minimum(s_cluster, cap)
+        )
 
         proj = nn.Dense(self.out_channels, name="proj")(ps.feat)
         w = ps.valid.astype(jnp.float32)[:, None]
@@ -302,34 +314,40 @@ class SerializedPooling(nn.Module):
             feat = jax.ops.segment_max(
                 jnp.where(ps.valid[:, None], proj, neg),
                 cluster,
-                num_segments=p,
-            )
+                num_segments=cap + 1,
+            )[:cap]
             feat = jnp.where(jnp.isfinite(feat), feat, 0.0)
         elif self.reduce == "mean":
-            s = jax.ops.segment_sum(proj * w, cluster, num_segments=p)
-            cnt = jax.ops.segment_sum(w[:, 0], cluster, num_segments=p)
-            feat = s / jnp.maximum(cnt, 1.0)[:, None]
+            s = jax.ops.segment_sum(proj * w, cluster, num_segments=cap + 1)
+            cnt = jax.ops.segment_sum(
+                w[:, 0], cluster, num_segments=cap + 1
+            )
+            feat = (s / jnp.maximum(cnt, 1.0)[:, None])[:cap]
         else:  # sum
-            feat = jax.ops.segment_sum(proj * w, cluster, num_segments=p)
+            feat = jax.ops.segment_sum(
+                proj * w, cluster, num_segments=cap + 1
+            )[:cap]
 
-        counts = jax.ops.segment_sum(w[:, 0], cluster, num_segments=p)
+        counts = jax.ops.segment_sum(
+            w[:, 0], cluster, num_segments=cap + 1
+        )[:cap]
         coarse_valid = counts > 0
         feat = feat * coarse_valid[:, None]  # clear sentinel rows
         coord = jax.ops.segment_sum(
-            ps.coord * w, cluster, num_segments=p
-        ) / jnp.maximum(counts, 1.0)[:, None]
+            ps.coord * w, cluster, num_segments=cap + 1
+        )[:cap] / jnp.maximum(counts, 1.0)[:, None]
         grid_coord = (
             jax.ops.segment_max(
                 jnp.where(ps.valid[:, None], ps.grid_coord, -1),
                 cluster,
-                num_segments=p,
-            )
+                num_segments=cap + 1,
+            )[:cap]
             >> 1
         )
         grid_coord = jnp.maximum(grid_coord, 0)
         batch = jax.ops.segment_max(
-            jnp.where(ps.valid, ps.batch, -1), cluster, num_segments=p
-        )
+            jnp.where(ps.valid, ps.batch, -1), cluster, num_segments=cap + 1
+        )[:cap]
         batch = jnp.where(coarse_valid, batch, INVALID_BATCH)
 
         feat = MaskedBatchNorm(momentum=0.99, epsilon=1e-3, name="norm")(
@@ -380,7 +398,9 @@ class SerializedUnpooling(nn.Module):
             momentum=0.99, epsilon=1e-3, name="norm_skip"
         )(skip, fine.valid, train)
         skip = nn.gelu(skip)
-        feat = (skip + x[cluster]) * fine.valid[:, None]
+        cap = x.shape[0]
+        up = x[jnp.clip(cluster, 0, cap - 1)] * (cluster < cap)[:, None]
+        feat = (skip + up) * fine.valid[:, None]
         return fine._replace(feat=feat)
 
 
@@ -466,10 +486,17 @@ class PointTransformerV3(nn.Module):
         dp_i = 0
         for s in range(num_stages):
             if s > 0:
+                # compact the pooled level: halve capacity, rounded up to
+                # the attention patch so windows stay static-shape
+                patch = self.enc_patch_size[s]
+                p_now = ps.feat.shape[0]
+                cap = max(-(-(p_now // 2) // patch) * patch, patch)
+                cap = min(cap, p_now)
                 coarse, cluster = SerializedPooling(
                     self.enc_channels[s],
                     depth=self.depth,
                     order_names=self.order_names,
+                    cap=cap,
                     name=f"enc{s}_down",
                 )(ps, train, shuffle_rng=rngs[s])
                 skips.append((ps, cluster))

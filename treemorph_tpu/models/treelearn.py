@@ -23,6 +23,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.bricks import (
+    BRICK,
+    BrickStructure,
+    brick_subm_conv,
+    brickize,
+    from_dense,
+    to_dense,
+)
 from ..ops.sparse import (
     DownsampleMap,
     build_downsample,
@@ -126,6 +134,59 @@ class ResidualBlock(nn.Module):
         return x + identity
 
 
+class BrickSubMConv(nn.Module):
+    """Single submanifold conv on the brick engine (flat in/out)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, feats, bs: BrickStructure, active, valid):
+        w = self.param(
+            "kernel", _KERNEL_INIT, (27, feats.shape[-1], self.out_channels)
+        )
+        dense = to_dense(feats * valid[:, None], bs)
+        out = brick_subm_conv(dense, w, bs, active)
+        return from_dense(out, bs) * valid[:, None]
+
+
+class BrickResidualBlock(nn.Module):
+    """ResidualBlock on the dense-brick layout (same math, MXU conv)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, dense, bs: BrickStructure, active, flat_mask,
+                 train: bool):
+        cin = dense.shape[-1]
+        shape = dense.shape
+        if cin == self.out_channels:
+            identity = dense
+        else:
+            w = self.param(
+                "shortcut", _KERNEL_INIT, (cin, self.out_channels)
+            )
+            identity = jnp.dot(
+                dense.reshape(-1, cin), w, preferred_element_type=jnp.float32
+            ).reshape(*shape[:-1], self.out_channels)
+
+        def bn_relu(x, name):
+            flat = x.reshape(-1, x.shape[-1])
+            flat = MaskedBatchNorm(name=name)(flat, flat_mask, train)
+            return nn.relu(flat).reshape(x.shape) * active
+
+        x = bn_relu(dense, "bn0")
+        w0 = self.param(
+            "conv0", _KERNEL_INIT, (27, cin, self.out_channels)
+        )
+        x = brick_subm_conv(x, w0, bs, active)
+        x = bn_relu(x, "bn1")
+        w1 = self.param(
+            "conv1", _KERNEL_INIT, (27, self.out_channels, self.out_channels)
+        )
+        x = brick_subm_conv(x, w1, bs, active)
+        return x + identity
+
+
 class UBlock(nn.Module):
     """Recursive U-Net over voxel levels (reference blocks.py:83-151).
 
@@ -133,6 +194,13 @@ class UBlock(nn.Module):
     coarser level — real clouds coarsen >=2x per stride-2 level, and the
     sparse engine's gather costs scale with the padded size. Set 1 to
     disable compaction.
+
+    ``engine``: 'gather' = hash-rulebook gather-matmul convs;
+    'brick' = dense 4x4x4-brick convs (ops/bricks.py) — an order of
+    magnitude fewer gather rows, MXU does the conv. ``brick_divisor``
+    statically caps the brick count at M/divisor (bricks hold up to 64
+    voxels; surface clouds average ~10-20, so 4-8 is safe in practice;
+    1 is always safe).
     """
 
     n_planes: Sequence[int]
@@ -140,16 +208,41 @@ class UBlock(nn.Module):
     kernel_size: int = 3
     level_shrink: int = 2
     min_capacity: int = 256
+    engine: str = "gather"
+    brick_divisor: int = 4
+
+    def _make_ctx(self, coords, valid):
+        """Per-level conv context, shared by head and tail blocks (the
+        reference's indice_key reuse)."""
+        if self.engine == "brick" and self.kernel_size == 3:
+            m = coords.shape[0]
+            cap = max(m // self.brick_divisor, 64)
+            bs = brickize(coords, valid, cap)
+            active = to_dense(valid.astype(jnp.float32)[:, None], bs)
+            flat_mask = (active > 0).reshape(-1)
+            return ("brick", bs, active, flat_mask)
+        return ("gather", build_rulebook(coords, valid, self.kernel_size))
+
+    def _run_blocks(self, x, ctx, valid, train, prefix: str):
+        if ctx[0] == "brick":
+            _, bs, active, flat_mask = ctx
+            dense = to_dense(x * valid[:, None], bs)
+            for i in range(self.block_reps):
+                dense = BrickResidualBlock(
+                    self.n_planes[0], name=f"{prefix}{i}"
+                )(dense, bs, active, flat_mask, train)
+            return from_dense(dense, bs) * valid[:, None]
+        rulebook = ctx[1]
+        for i in range(self.block_reps):
+            x = ResidualBlock(
+                self.n_planes[0], self.kernel_size, name=f"{prefix}{i}"
+            )(x, rulebook, valid, train)
+        return x
 
     @nn.compact
     def __call__(self, feats, coords, valid, train: bool):
-        rulebook = build_rulebook(coords, valid, self.kernel_size)
-
-        x = feats
-        for i in range(self.block_reps):
-            x = ResidualBlock(
-                self.n_planes[0], self.kernel_size, name=f"block{i}"
-            )(x, rulebook, valid, train)
+        ctx = self._make_ctx(coords, valid)
+        x = self._run_blocks(feats, ctx, valid, train, "block")
 
         if len(self.n_planes) > 1:
             identity = x
@@ -174,6 +267,8 @@ class UBlock(nn.Module):
                 self.kernel_size,
                 self.level_shrink,
                 self.min_capacity,
+                self.engine,
+                self.brick_divisor,
                 name="u",
             )(d, ds.coarse_coords, ds.coarse_valid, train)
 
@@ -187,10 +282,7 @@ class UBlock(nn.Module):
             u = inverse_conv_apply(u, w_up, ds, valid)
 
             x = jnp.concatenate([identity, u], axis=-1)
-            for i in range(self.block_reps):
-                x = ResidualBlock(
-                    self.n_planes[0], self.kernel_size, name=f"tail{i}"
-                )(x, rulebook, valid, train)
+            x = self._run_blocks(x, ctx, valid, train, "tail")
         return x
 
 
@@ -234,6 +326,8 @@ class TreeLearnBackbone(nn.Module):
     voxel_size: float = 0.1
     batch_size: int = 1  # static batch element count
     voxel_capacity_divisor: int = 1
+    engine: str = "gather"  # or "brick" (ops/bricks.py dense-brick convs)
+    brick_divisor: int = 4
 
     @nn.compact
     def __call__(self, coords, feats, batch_ids, valid, train: bool):
@@ -254,14 +348,28 @@ class TreeLearnBackbone(nn.Module):
         v_coords = vox.voxel_coords
         v_valid = vox.voxel_valid
 
-        rulebook = build_rulebook(v_coords, v_valid, self.kernel_size)
-        x = SubMConv(self.channels, self.kernel_size, name="input_conv")(
-            vox.voxel_feats, rulebook, v_valid
-        )
+        if self.engine == "brick" and self.kernel_size == 3:
+            m = v_coords.shape[0]
+            bcap = max(m // self.brick_divisor, 64)
+            bs = brickize(v_coords, v_valid, bcap)
+            active = to_dense(v_valid.astype(jnp.float32)[:, None], bs)
+            x = BrickSubMConv(self.channels, name="input_conv")(
+                vox.voxel_feats, bs, active, v_valid
+            )
+        else:
+            rulebook = build_rulebook(v_coords, v_valid, self.kernel_size)
+            x = SubMConv(self.channels, self.kernel_size, name="input_conv")(
+                vox.voxel_feats, rulebook, v_valid
+            )
         n_planes = [self.channels * (i + 1) for i in range(self.num_blocks)]
-        x = UBlock(n_planes, 2, self.kernel_size, name="unet")(
-            x, v_coords, v_valid, train
-        )
+        x = UBlock(
+            n_planes,
+            2,
+            self.kernel_size,
+            engine=self.engine,
+            brick_divisor=self.brick_divisor,
+            name="unet",
+        )(x, v_coords, v_valid, train)
         x = MaskedBatchNorm(name="output_norm")(x, v_valid, train)
         x = nn.relu(x)
 
@@ -295,6 +403,8 @@ class TreeLearn(nn.Module):
     voxel_size: float = 0.1
     batch_size: int = 1  # static batch element count
     voxel_capacity_divisor: int = 1
+    engine: str = "gather"  # or "brick"
+    brick_divisor: int = 4
 
     @nn.compact
     def __call__(
@@ -318,6 +428,8 @@ class TreeLearn(nn.Module):
             voxel_size=self.voxel_size,
             batch_size=self.batch_size,
             voxel_capacity_divisor=self.voxel_capacity_divisor,
+            engine=self.engine,
+            brick_divisor=self.brick_divisor,
             name="backbone",
         )
         point_feats, vox = backbone(coords, feats, batch_ids, valid, train)
