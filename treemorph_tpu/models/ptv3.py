@@ -356,9 +356,30 @@ class SerializedPooling(nn.Module):
         feat = nn.gelu(feat)
         feat = feat * coarse_valid[:, None]
 
-        orders, inverses, chi, clo = _serialize(
-            grid_coord, batch, coarse_valid, self.order_names, self.depth
-        )
+        # Pooled curve codes = the cluster head's codes shifted one curve
+        # level (reference blocks.py:669-691) — avoids re-running the
+        # Hilbert bit transform at every level; only a lexsort per order.
+        first_pos = jax.ops.segment_min(
+            jnp.arange(p, dtype=jnp.int32),
+            s_cluster,
+            num_segments=cap + 1,
+        )[:cap]
+        head = order0[jnp.clip(first_pos, 0, p - 1)]  # (cap,) orig index
+        h_hi = ps.code_hi[:, head]  # (O, cap)
+        h_lo = ps.code_lo[:, head]
+        clo = (h_lo >> 3) | (h_hi << 29)
+        chi = h_hi >> 3
+        sort_batch = jnp.where(coarse_valid, batch, INVALID_BATCH)
+        orders_list, inverses_list = [], []
+        for o in range(len(self.order_names)):
+            perm_o = jnp.lexsort((clo[o], chi[o], sort_batch))
+            inv_o = jnp.zeros_like(perm_o).at[perm_o].set(
+                jnp.arange(cap, dtype=perm_o.dtype)
+            )
+            orders_list.append(perm_o)
+            inverses_list.append(inv_o)
+        orders = jnp.stack(orders_list).astype(jnp.int32)
+        inverses = jnp.stack(inverses_list).astype(jnp.int32)
         if shuffle_rng is not None:
             perm = jax.random.permutation(shuffle_rng, len(self.order_names))
             orders, inverses, chi, clo = (

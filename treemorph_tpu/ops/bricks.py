@@ -130,16 +130,16 @@ def from_dense(dense: jax.Array, bs: BrickStructure) -> jax.Array:
 def _halo_pad(dense: jax.Array, bs: BrickStructure) -> jax.Array:
     """(Bcap+1, 4,4,4, C) -> (Bcap, 6,6,6, C) with 1-voxel halos gathered
     from the 26 neighbor bricks (missing neighbors contribute zeros via
-    the dump brick)."""
+    the dump brick).
+
+    Assembled with nested concatenation — a sequence of .at[].set halo
+    writes would materialize a full copy of the padded tensor per
+    direction (~26x the memory traffic).
+    """
     cap = bs.brick_coords.shape[0]
-    c = dense.shape[-1]
-    padded = jnp.zeros((cap, BRICK + 2, BRICK + 2, BRICK + 2, c),
-                       dense.dtype)
-    padded = padded.at[:, 1:5, 1:5, 1:5].set(dense[:cap])
 
     def src_slice(d):
-        # neighbor at direction d: take its far-side cells along each
-        # nonzero axis (the cells adjacent to our brick)
+        # neighbor at direction d contributes its far-side cells
         out = []
         for axis_d in d:
             if axis_d == 1:
@@ -150,27 +150,22 @@ def _halo_pad(dense: jax.Array, bs: BrickStructure) -> jax.Array:
                 out.append(slice(0, BRICK))
         return tuple(out)
 
-    def dst_slice(d):
-        out = []
-        for axis_d in d:
-            if axis_d == 1:
-                out.append(slice(BRICK + 1, BRICK + 2))  # our high halo
-            elif axis_d == -1:
-                out.append(slice(0, 1))  # our low halo
-            else:
-                out.append(slice(1, BRICK + 1))
-        return tuple(out)
-
-    for k, d in enumerate(_DIRS):
+    def block(d):
         if d == (0, 0, 0):
-            continue
+            return dense[:cap]
+        k = _DIRS.index(d)
         nbr = bs.brick_nbrs[:, k]  # (Bcap,), cap = dump (zeros)
         sx, sy, sz = src_slice(d)
-        # gather only the needed slab of the neighbor bricks
-        slab = dense[:, sx, sy, sz, :][nbr]  # (Bcap, wx, wy, wz, C)
-        dx, dy, dz = dst_slice(d)
-        padded = padded.at[:, dx, dy, dz, :].set(slab)
-    return padded
+        return dense[:, sx, sy, sz, :][nbr]  # (Bcap, wx, wy, wz, C)
+
+    x_slabs = []
+    for dx in (-1, 0, 1):
+        y_slabs = []
+        for dy in (-1, 0, 1):
+            z_blocks = [block((dx, dy, dz)) for dz in (-1, 0, 1)]
+            y_slabs.append(jnp.concatenate(z_blocks, axis=3))
+        x_slabs.append(jnp.concatenate(y_slabs, axis=2))
+    return jnp.concatenate(x_slabs, axis=1)  # (Bcap, 6, 6, 6, C)
 
 
 def brick_subm_conv(
