@@ -64,10 +64,12 @@ def main():
         voxel_size=0.02,
         batch_size=b,
         # dense clouds dedupe heavily (measured ~187k voxels / ~36k bricks
-        # for this 1.05M-point batch); bound the static arrays accordingly
+        # for this 1.05M-point batch); bound the static arrays accordingly.
+        # Engine comparison on this workload (v5e-1): gather 1.51M pts/s,
+        # brick 1.07M pts/s (XLA 3D conv at C=32 eats the halo win) —
+        # gather stays the default; see ROADMAP.md.
         voxel_capacity_divisor=4,
-        engine="brick",
-        brick_divisor=6,  # cap = 262k/6 ~ 43k bricks >= 36k measured
+        engine="gather",
     )
     init = jax.jit(
         lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)

@@ -1,0 +1,83 @@
+"""Tests for QSM alignment / project_clouds / diagnostics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from treemorph_tpu.evaluation.qsm_eval import (
+    align_qsm_to_cloud,
+    point_cloud_stem_base_center,
+    project_clouds,
+    qsm_stem_base_center,
+)
+from treemorph_tpu.fixtures import synthetic_qsm, synthetic_tree_cloud
+
+
+class TestStemAlignment:
+    def test_cloud_stem_base(self, rng):
+        points, _ = synthetic_tree_cloud(points_per_m2=2000, rng=rng)
+        center = point_cloud_stem_base_center(points)
+        # synthetic stem is on the z axis (r=0.25; the 10cm base slice is
+        # sparse, so allow a slice-fit-level tolerance)
+        assert abs(center[0]) < 0.15 and abs(center[1]) < 0.15
+        assert center[2] == pytest.approx(points[:, 2].min())
+
+    def test_qsm_stem_base(self, rng):
+        qsm = synthetic_qsm(rng=rng)
+        base = qsm_stem_base_center(qsm)
+        np.testing.assert_allclose(base, [0, 0, 0], atol=1e-9)
+
+    def test_alignment_removes_translation(self, rng):
+        qsm = synthetic_qsm(rng=rng)
+        points, _ = synthetic_tree_cloud(qsm=qsm, points_per_m2=200, rng=rng)
+        shifted = qsm.copy()
+        for i, axis in enumerate(["X", "Y", "Z"]):
+            shifted[f"start{axis}"] += [5.0, -3.0, 2.0][i]
+            shifted[f"end{axis}"] += [5.0, -3.0, 2.0][i]
+        aligned = align_qsm_to_cloud(shifted, points)
+        base = qsm_stem_base_center(aligned)
+        true_base = point_cloud_stem_base_center(points)
+        np.testing.assert_allclose(base, true_base, atol=0.15)
+
+
+class TestProjectClouds:
+    def test_matching_and_output(self, tmp_path, rng):
+        qsm = synthetic_qsm(rng=rng)
+        points, _ = synthetic_tree_cloud(qsm=qsm, points_per_m2=60, rng=rng)
+        cloud_path = str(tmp_path / "7_1_pred_denoised.npy")
+        np.save(cloud_path, points)
+        qsm_path = str(tmp_path / "7_1_pred_denoised_qsm_cylinders.csv")
+        qsm.to_csv(qsm_path, index=False)
+
+        written = project_clouds(
+            [cloud_path], [qsm_path], str(tmp_path / "proj"), denoised=True
+        )
+        assert len(written) == 1
+        data = np.load(written[0])
+        assert data.shape == (len(points), 11)
+        # surface points project with small offsets
+        off = np.linalg.norm(data[:, 3:6], axis=1)
+        assert np.median(off) < 0.1
+
+
+class TestDiagnostics:
+    def test_test_model_artifacts(self, tmp_path, rng):
+        import jax
+
+        from treemorph_tpu.evaluation.diagnostics import test_model
+        from treemorph_tpu.evaluation.model_loaders import (
+            Predictor,
+            _init_variables,
+            build_model,
+        )
+        from treemorph_tpu.fixtures import synthetic_cylinder_cloud
+
+        labeled = synthetic_cylinder_cloud(800, rng=rng)
+        model = build_model("treelearn", num_blocks=2)
+        variables = _init_variables("treelearn", model)
+        predictor = Predictor("treelearn", model, variables)
+        out = test_model(predictor, labeled, str(tmp_path), name="syn")
+        assert os.path.getsize(out["slice_plot"]) > 1000
+        assert os.path.getsize(out["hist_plot"]) > 1000
+        assert np.isfinite(out["offset_mae"])

@@ -11,12 +11,148 @@ on TPU through :mod:`treemorph_tpu.ops.projection`.
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
 
 from ..ops.projection import cylinders_from_dataframe, closest_cylinder
-from ..utils.fitting import fit_power_law, generate_log_bins
+from ..utils.fitting import fit_circle_2d, fit_power_law, generate_log_bins
+
+logger = logging.getLogger("treemorph_tpu.eval")
+
+
+def point_cloud_stem_base_center(
+    cloud_xyz: np.ndarray,
+    slice_height: float = 0.10,
+    num_ransac_fits: int = 5,
+    subset_ratio: float = 0.7,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray | None:
+    """RANSAC-averaged circle-fit center of the cloud's base slice
+    (reference Modules/Projection.py:165-211)."""
+    rng = rng or np.random.default_rng(0)
+    if len(cloud_xyz) < 10:
+        return None
+    min_z = cloud_xyz[:, 2].min()
+    base = cloud_xyz[
+        (cloud_xyz[:, 2] >= min_z) & (cloud_xyz[:, 2] < min_z + slice_height)
+    ]
+    if len(base) < 10:
+        base = cloud_xyz[cloud_xyz[:, 2] < min_z + 0.5]
+        if len(base) < 10:
+            centroid = cloud_xyz[:, :2].mean(axis=0)
+            return np.array([centroid[0], centroid[1], min_z])
+
+    pts2d = base[:, :2]
+    subset = min(max(3, int(len(pts2d) * subset_ratio)), len(pts2d))
+    centers = []
+    for _ in range(num_ransac_fits if len(pts2d) >= 3 else 1):
+        idx = rng.choice(len(pts2d), subset, replace=False)
+        c, _ = fit_circle_2d(pts2d[idx])
+        if np.isfinite(c).all():
+            centers.append(c)
+    if centers:
+        center_xy = np.mean(centers, axis=0)
+    else:
+        center_xy, _ = fit_circle_2d(pts2d)
+        if not np.isfinite(center_xy).all():
+            center_xy = pts2d.mean(axis=0)
+    return np.array([center_xy[0], center_xy[1], min_z])
+
+
+def qsm_stem_base_center(qsm_df) -> np.ndarray | None:
+    """Start point of the QSM's lowest main-stem cylinder (reference
+    Modules/Projection.py:213-258); prefers BranchOrder == 0."""
+    import pandas as pd
+
+    df = qsm_df.copy()
+    needed = ["startX", "startY", "startZ"]
+    if not all(c in df.columns for c in needed) or df.empty:
+        return None
+    for c in needed:
+        df[c] = pd.to_numeric(df[c], errors="coerce")
+    df = df.dropna(subset=needed)
+    if df.empty:
+        return None
+    candidates = df
+    if "BranchOrder" in df.columns:
+        stem = df[df["BranchOrder"] == 0]
+        if not stem.empty:
+            candidates = stem
+    row = candidates.loc[candidates["startZ"].idxmin()]
+    return np.array([row["startX"], row["startY"], row["startZ"]])
+
+
+def align_qsm_to_cloud(qsm_df, cloud_xyz: np.ndarray):
+    """Translate the QSM so its stem base matches the cloud's
+    (reference Modules/Projection.py:382-412). Returns a new dataframe."""
+    pc_ref = point_cloud_stem_base_center(cloud_xyz)
+    qsm_ref = qsm_stem_base_center(qsm_df)
+    if pc_ref is None or qsm_ref is None:
+        logger.warning("alignment references unavailable; skipping")
+        return qsm_df
+    shift = qsm_ref - pc_ref
+    out = qsm_df.copy()
+    for i, axis in enumerate(["X", "Y", "Z"]):
+        out[f"start{axis}"] = out[f"start{axis}"] - shift[i]
+        out[f"end{axis}"] = out[f"end{axis}"] - shift[i]
+    return out
+
+
+def project_clouds(
+    cloud_list: list[str],
+    cylinder_list: list[str],
+    label_dir: str,
+    denoised: bool = False,
+    align: bool = False,
+) -> list[str]:
+    """Project refined clouds onto fitted QSMs and save the labeled result
+    (reference Modules/Projection.py:264-444): clouds are matched to the
+    QSM csv whose basename extends theirs with the shortest suffix; output
+    is ``*_labeled_pred[_denoised]_projected.npy`` in the (N, 11) layout
+    with ones features."""
+    import pandas as pd
+
+    from ..ops.projection import generate_offset_cloud
+    from ..utils.io import load_cloud
+
+    suffix = (
+        "_labeled_pred_denoised_projected.npy"
+        if denoised
+        else "_labeled_pred_projected.npy"
+    )
+    qsm_names = [
+        (os.path.splitext(os.path.basename(p))[0], p) for p in cylinder_list
+    ]
+    os.makedirs(label_dir, exist_ok=True)
+    written = []
+    for cloud_path in cloud_list:
+        base = os.path.splitext(os.path.basename(cloud_path))[0]
+        matches = [
+            (len(name) - len(base), path)
+            for name, path in qsm_names
+            if name.startswith(base)
+        ]
+        if not matches:
+            logger.warning("no QSM match for %s", base)
+            continue
+        qsm_path = min(matches)[1]
+        cloud = load_cloud(cloud_path)
+        if cloud is None or len(cloud) == 0:
+            continue
+        qsm = pd.read_csv(qsm_path)
+        qsm.columns = qsm.columns.str.strip().str.replace('"', "")
+        if align:
+            qsm = align_qsm_to_cloud(qsm, cloud[:, :3])
+        labeled = generate_offset_cloud(cloud, qsm)
+        labeled = np.concatenate(
+            [labeled, np.ones((len(labeled), 4), np.float32)], axis=1
+        )
+        out_path = os.path.join(label_dir, base + suffix)
+        np.save(out_path, labeled)
+        written.append(out_path)
+    return written
 
 
 def project_on_qsm(cloud: np.ndarray, qsm_df) -> np.ndarray:
