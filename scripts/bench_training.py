@@ -84,9 +84,13 @@ def main():
 
     iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = train_step(state, batch, lr, jax.random.key(2))
-    jax.block_until_ready(metrics["loss"])
+    for i in range(iters):
+        state, metrics = train_step(
+            state, batch, lr, jax.random.key(2 + i)
+        )
+        float(metrics["loss"])  # per-step sync: async dispatch otherwise
+        # under-reports (block_until_ready on the last value alone was
+        # measured 400x too fast)
     step_seconds = (time.perf_counter() - t0) / iters
 
     points_per_sec = TREES_PER_BATCH * n_points / step_seconds
