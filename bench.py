@@ -82,13 +82,16 @@ def main():
                           train=False)
         return out["offset_predictions"], out["semantic_prediction_logits"]
 
-    jax.block_until_ready(forward(variables, coords, feats, batch_ids, valid))
+    # compile + warmup; np.asarray forces a real device sync (axon's
+    # block_until_ready proved unreliable for timing)
+    out = forward(variables, coords, feats, batch_ids, valid)
+    np.asarray(out[0])
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(variables, coords, feats, batch_ids, valid)
-    jax.block_until_ready(out)
+        float(out[0][0, 0])  # per-iteration scalar sync
     dt = time.perf_counter() - t0
 
     points_per_sec = b * n * iters / dt
