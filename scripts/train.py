@@ -25,8 +25,9 @@ def parse_args():
     p = argparse.ArgumentParser(description="Train a tree-morphology model")
     p.add_argument("model", choices=["treelearn", "pointnet2",
                                      "pointtransformerv3"])
-    p.add_argument("--data_root", type=str, required=True,
-                   help="directory with plot_{n}.json manifests")
+    p.add_argument("--data_root", type=str, default=None,
+                   help="directory with plot_{n}.json manifests "
+                        "(required unless --raster_dir)")
     p.add_argument("--save_dir", type=str, default="ModelSaves")
     p.add_argument("--name", type=str, default=None,
                    help="checkpoint run name (default: model family)")
@@ -47,6 +48,12 @@ def parse_args():
     p.add_argument("--n_devices", type=int, default=None,
                    help="data-parallel devices (default: all)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--raster_dir", type=str, default=None,
+                   help="train on rasterized crops (flattened mode, the "
+                        "reference's PointNet2 raster training) from this "
+                        "rasterizer output directory")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="fail at the first NaN-producing op")
     # family hyperparameters
     p.add_argument("--voxel_size", type=float, default=None)
     p.add_argument("--num_blocks", type=int, default=3)
@@ -113,17 +120,48 @@ def main():
     from treemorph_tpu.train.harness import make_optimizer
     from treemorph_tpu.utils import EarlyStopper
 
+    if args.data_root is None and args.raster_dir is None:
+        raise SystemExit("one of --data_root / --raster_dir is required")
+
+    if args.debug_nans:
+        from treemorph_tpu.utils.debug import enable_nan_checks
+
+        enable_nan_checks(True)
+
     name = args.name or args.model
     mesh = make_mesh(args.n_devices) if jax.device_count() > 1 else None
 
     for plot in args.test_plots:
         logging.info("=== CV fold: test plot %s ===", plot)
-        trainset, valset = get_plot_split(
-            args.data_root,
-            plot,
-            noise_distance=args.noise_distance,
-            noise_root=args.noise_root,
-        )
+        if args.raster_dir:
+            # flattened raster training: every crop is its own sample,
+            # split by plot prefix (reference train_PointNet2 raster mode)
+            from treemorph_tpu.data.rasterized import RasterDataset
+
+            paths = sorted(
+                os.path.join(args.raster_dir, f)
+                for f in os.listdir(args.raster_dir)
+                if f.endswith(".npy")
+            )
+            test_paths = [
+                p
+                for p in paths
+                if os.path.basename(p).split("_")[0] == str(plot)
+            ]
+            train_paths = [p for p in paths if p not in set(test_paths)]
+            trainset = RasterDataset(
+                train_paths, True, noise_distance=args.noise_distance
+            )
+            valset = RasterDataset(
+                test_paths, False, noise_distance=args.noise_distance
+            )
+        else:
+            trainset, valset = get_plot_split(
+                args.data_root,
+                plot,
+                noise_distance=args.noise_distance,
+                noise_root=args.noise_root,
+            )
         rng_np = np.random.default_rng(args.seed)
         example = next(batch_iterator(trainset, args.batch_size, args.bucket,
                                       shuffle=False))
