@@ -70,6 +70,7 @@ def main():
         # gather stays the default; see ROADMAP.md.
         voxel_capacity_divisor=4,
         engine="gather",
+        conv_dtype="bfloat16",  # f32 accumulation; ~5x faster convs
     )
     init = jax.jit(
         lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)

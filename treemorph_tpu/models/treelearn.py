@@ -95,6 +95,7 @@ class SubMConv(nn.Module):
 
     out_channels: int
     kernel_size: int = 3
+    conv_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, feats, rulebook, valid):
@@ -102,7 +103,10 @@ class SubMConv(nn.Module):
         w = self.param(
             "kernel", _KERNEL_INIT, (k, feats.shape[-1], self.out_channels)
         )
-        return subm_conv_apply(feats, w, rulebook, valid)
+        return subm_conv_apply(
+            feats, w, rulebook, valid,
+            compute_dtype=jnp.dtype(self.conv_dtype),
+        )
 
 
 class ResidualBlock(nn.Module):
@@ -111,6 +115,7 @@ class ResidualBlock(nn.Module):
 
     out_channels: int
     kernel_size: int = 3
+    conv_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, feats, rulebook, valid, train: bool):
@@ -127,10 +132,14 @@ class ResidualBlock(nn.Module):
 
         x = MaskedBatchNorm()(feats, valid, train)
         x = nn.relu(x)
-        x = SubMConv(self.out_channels, self.kernel_size)(x, rulebook, valid)
+        x = SubMConv(self.out_channels, self.kernel_size, self.conv_dtype)(
+            x, rulebook, valid
+        )
         x = MaskedBatchNorm()(x, valid, train)
         x = nn.relu(x)
-        x = SubMConv(self.out_channels, self.kernel_size)(x, rulebook, valid)
+        x = SubMConv(self.out_channels, self.kernel_size, self.conv_dtype)(
+            x, rulebook, valid
+        )
         return x + identity
 
 
@@ -210,6 +219,7 @@ class UBlock(nn.Module):
     min_capacity: int = 256
     engine: str = "gather"
     brick_divisor: int = 4
+    conv_dtype: str = "float32"
 
     def _make_ctx(self, coords, valid):
         """Per-level conv context, shared by head and tail blocks (the
@@ -235,7 +245,10 @@ class UBlock(nn.Module):
         rulebook = ctx[1]
         for i in range(self.block_reps):
             x = ResidualBlock(
-                self.n_planes[0], self.kernel_size, name=f"{prefix}{i}"
+                self.n_planes[0],
+                self.kernel_size,
+                self.conv_dtype,
+                name=f"{prefix}{i}",
             )(x, rulebook, valid, train)
         return x
 
@@ -259,7 +272,10 @@ class UBlock(nn.Module):
                 _KERNEL_INIT,
                 (8, self.n_planes[0], self.n_planes[1]),
             )
-            d = down_conv_apply(d, w_down, ds, valid)
+            d = down_conv_apply(
+                d, w_down, ds, valid,
+                compute_dtype=jnp.dtype(self.conv_dtype),
+            )
 
             d = UBlock(
                 self.n_planes[1:],
@@ -269,6 +285,7 @@ class UBlock(nn.Module):
                 self.min_capacity,
                 self.engine,
                 self.brick_divisor,
+                self.conv_dtype,
                 name="u",
             )(d, ds.coarse_coords, ds.coarse_valid, train)
 
@@ -279,7 +296,10 @@ class UBlock(nn.Module):
                 _KERNEL_INIT,
                 (8, self.n_planes[1], self.n_planes[0]),
             )
-            u = inverse_conv_apply(u, w_up, ds, valid)
+            u = inverse_conv_apply(
+                u, w_up, ds, valid,
+                compute_dtype=jnp.dtype(self.conv_dtype),
+            )
 
             x = jnp.concatenate([identity, u], axis=-1)
             x = self._run_blocks(x, ctx, valid, train, "tail")
@@ -328,6 +348,7 @@ class TreeLearnBackbone(nn.Module):
     voxel_capacity_divisor: int = 1
     engine: str = "gather"  # or "brick" (ops/bricks.py dense-brick convs)
     brick_divisor: int = 4
+    conv_dtype: str = "float32"  # bfloat16: ~5x faster convs, f32 accum
 
     @nn.compact
     def __call__(self, coords, feats, batch_ids, valid, train: bool):
@@ -358,9 +379,12 @@ class TreeLearnBackbone(nn.Module):
             )
         else:
             rulebook = build_rulebook(v_coords, v_valid, self.kernel_size)
-            x = SubMConv(self.channels, self.kernel_size, name="input_conv")(
-                vox.voxel_feats, rulebook, v_valid
-            )
+            x = SubMConv(
+                self.channels,
+                self.kernel_size,
+                self.conv_dtype,
+                name="input_conv",
+            )(vox.voxel_feats, rulebook, v_valid)
         n_planes = [self.channels * (i + 1) for i in range(self.num_blocks)]
         x = UBlock(
             n_planes,
@@ -368,6 +392,7 @@ class TreeLearnBackbone(nn.Module):
             self.kernel_size,
             engine=self.engine,
             brick_divisor=self.brick_divisor,
+            conv_dtype=self.conv_dtype,
             name="unet",
         )(x, v_coords, v_valid, train)
         x = MaskedBatchNorm(name="output_norm")(x, v_valid, train)
@@ -405,6 +430,7 @@ class TreeLearn(nn.Module):
     voxel_capacity_divisor: int = 1
     engine: str = "gather"  # or "brick"
     brick_divisor: int = 4
+    conv_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -430,6 +456,7 @@ class TreeLearn(nn.Module):
             voxel_capacity_divisor=self.voxel_capacity_divisor,
             engine=self.engine,
             brick_divisor=self.brick_divisor,
+            conv_dtype=self.conv_dtype,
             name="backbone",
         )
         point_feats, vox = backbone(coords, feats, batch_ids, valid, train)
