@@ -183,3 +183,30 @@ class TestDownsample:
         assert fine.shape == (64, cin)
         expected0 = np.asarray(coarse)[j] @ w_up[octant[0]]
         np.testing.assert_allclose(np.asarray(fine)[0], expected0, atol=1e-4)
+
+
+class TestBf16Conv:
+    def test_bfloat16_close_to_f32(self, rng):
+        import jax.numpy as jnp
+
+        coords, valid = random_voxels(rng, n_active=80, pad_to=128)
+        cin, cout = 8, 8
+        feats = rng.normal(size=(128, cin)).astype(np.float32)
+        feats[~valid] = 0
+        weights = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.2
+        rb = build_rulebook(jnp.asarray(coords), jnp.asarray(valid), 3)
+        ref = np.asarray(
+            subm_conv_apply(
+                jnp.asarray(feats), jnp.asarray(weights), rb,
+                jnp.asarray(valid)
+            )
+        )
+        low = np.asarray(
+            subm_conv_apply(
+                jnp.asarray(feats), jnp.asarray(weights), rb,
+                jnp.asarray(valid), compute_dtype=jnp.bfloat16,
+            )
+        )
+        assert low.dtype == np.float32  # f32 accumulation
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(low, ref, atol=0.05 * scale)
