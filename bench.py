@@ -70,7 +70,9 @@ def main():
         # gather stays the default; see ROADMAP.md.
         voxel_capacity_divisor=4,
         engine="gather",
-        conv_dtype="bfloat16",  # f32 accumulation; ~5x faster convs
+        # conv_dtype="bfloat16" measured equal end-to-end here (1.41 vs
+        # 1.43M pts/s): on real surface data the sorted-order gathers are
+        # cache-friendly and convs are not the bottleneck; keep f32.
     )
     init = jax.jit(
         lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)
