@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .sparse import build_table, lookup
+from .sparse import _spatial_hash, build_table, lookup
 
 BRICK = 4  # brick edge in voxels
 CELLS = BRICK**3
@@ -65,8 +65,12 @@ def brickize(
     bxyz = xyz >> 2
     cell = xyz & 3
 
+    key4 = jnp.concatenate([b[:, None], bxyz], axis=1)
+    sort_key = jnp.where(
+        valid, _spatial_hash(key4), jnp.uint32(0xFFFFFFFF)
+    )
+    perm = jnp.argsort(sort_key)
     sort_b = jnp.where(valid, b, jnp.int32(0x7FFFFFF0))
-    perm = jnp.lexsort((bxyz[:, 2], bxyz[:, 1], bxyz[:, 0], sort_b))
     key = jnp.concatenate([sort_b[perm][:, None], bxyz[perm]], axis=1)
     s_valid = valid[perm]
     new = jnp.any(key[1:] != key[:-1], axis=1)

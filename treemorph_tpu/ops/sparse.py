@@ -320,8 +320,14 @@ def build_downsample(
         fine[:, 2] & 1
     )
 
+    # hash sort: equal coarse coords adjacent (boundaries verify full
+    # coords, so collisions are harmless); padding last
+    key4 = jnp.concatenate([b[:, None], coarse], axis=1)
+    sort_key = jnp.where(
+        valid, _spatial_hash(key4), jnp.uint32(0xFFFFFFFF)
+    )
+    perm = jnp.argsort(sort_key)
     sort_b = jnp.where(valid, b, jnp.int32(0x7FFFFFF0))
-    perm = jnp.lexsort((coarse[:, 2], coarse[:, 1], coarse[:, 0], sort_b))
     s_key = jnp.concatenate(
         [sort_b[perm][:, None], coarse[perm]], axis=1
     )

@@ -92,8 +92,17 @@ def voxelize(
     grid = jnp.maximum(grid, 0)
     grid = jnp.where(valid[:, None], grid, 0)
 
-    # Stable sort by (batch, gx, gy, gz); padding sorts last via batch id.
-    perm = jnp.lexsort((grid[:, 2], grid[:, 1], grid[:, 0], batch_ids))
+    # Dedup needs equal coords ADJACENT, not lexicographic order: one
+    # 32-bit hash sort replaces the 4-key lexsort (~4x cheaper; boundary
+    # detection below still compares full coordinates, so hash collisions
+    # between different voxels are harmless). Padding sorts last.
+    from .sparse import _spatial_hash
+
+    key4 = jnp.concatenate([batch_ids[:, None], grid], axis=1)
+    sort_key = jnp.where(
+        valid, _spatial_hash(key4), jnp.uint32(0xFFFFFFFF)
+    )
+    perm = jnp.argsort(sort_key)
     s_batch = batch_ids[perm]
     s_grid = grid[perm]
     s_valid = valid[perm]
