@@ -52,6 +52,13 @@ def parse_args():
                    help="train on rasterized crops (flattened mode, the "
                         "reference's PointNet2 raster training) from this "
                         "rasterizer output directory")
+    p.add_argument("--hierarchical_json", type=str, nargs="+", default=None,
+                   help="train hierarchically/streaming from AABB raster "
+                        "metadata JSON(s): every tree's raster minibatches "
+                        "become optimizer steps (the reference's "
+                        "minibatch-streaming mode)")
+    p.add_argument("--minibatch_size", type=int, default=20,
+                   help="rasters per minibatch in hierarchical mode")
     p.add_argument("--debug_nans", action="store_true",
                    help="fail at the first NaN-producing op")
     # family hyperparameters
@@ -120,8 +127,15 @@ def main():
     from treemorph_tpu.train.harness import make_optimizer
     from treemorph_tpu.utils import EarlyStopper
 
-    if args.data_root is None and args.raster_dir is None:
-        raise SystemExit("one of --data_root / --raster_dir is required")
+    if (
+        args.data_root is None
+        and args.raster_dir is None
+        and args.hierarchical_json is None
+    ):
+        raise SystemExit(
+            "one of --data_root / --raster_dir / --hierarchical_json "
+            "is required"
+        )
 
     if args.debug_nans:
         from treemorph_tpu.utils.debug import enable_nan_checks
@@ -133,7 +147,33 @@ def main():
 
     for plot in args.test_plots:
         logging.info("=== CV fold: test plot %s ===", plot)
-        if args.raster_dir:
+        hierarchical = args.hierarchical_json is not None
+        if hierarchical:
+            # streaming/hierarchical training: every tree's raster
+            # minibatches are optimizer steps (reference minibatch-
+            # streaming mode, train_PointNet2.py:127-146)
+            from treemorph_tpu.data.rasterized import (
+                HierarchicalRasterDataset,
+                hierarchical_batch_iterator,
+            )
+
+            def make_ds(training):
+                ds = HierarchicalRasterDataset(
+                    args.hierarchical_json,
+                    training=training,
+                    noise_distance=args.noise_distance,
+                    minibatch_size=args.minibatch_size,
+                )
+                keys = [
+                    k
+                    for k in ds.tree_keys
+                    if (k.split("_")[0] == str(plot)) != training
+                ]
+                ds.tree_keys = keys
+                return ds
+
+            trainset, valset = make_ds(True), make_ds(False)
+        elif args.raster_dir:
             # flattened raster training: every crop is its own sample,
             # split by plot prefix (reference train_PointNet2 raster mode)
             from treemorph_tpu.data.rasterized import RasterDataset
@@ -163,8 +203,39 @@ def main():
                 noise_root=args.noise_root,
             )
         rng_np = np.random.default_rng(args.seed)
-        example = next(batch_iterator(trainset, args.batch_size, args.bucket,
-                                      shuffle=False))
+        if hierarchical:
+            from treemorph_tpu.data.rasterized import (
+                hierarchical_batch_iterator,
+            )
+
+            example = next(
+                hierarchical_batch_iterator(trainset, args.bucket)
+            )
+
+            def train_batches(epoch):
+                return hierarchical_batch_iterator(
+                    trainset, args.bucket, rng=rng_np
+                )
+
+            def val_batches(epoch):
+                return hierarchical_batch_iterator(valset, args.bucket)
+
+        else:
+            example = next(
+                batch_iterator(
+                    trainset, args.batch_size, args.bucket, shuffle=False
+                )
+            )
+
+            def train_batches(epoch):
+                return batch_iterator(
+                    trainset, args.batch_size, args.bucket, rng=rng_np
+                )
+
+            def val_batches(epoch):
+                return batch_iterator(
+                    valset, args.batch_size, args.bucket, shuffle=False
+                )
         model, (forward_fn, loss_fn), init_fn = build(
             args, example.batch_size
         )
@@ -194,12 +265,8 @@ def main():
             state,
             train_step,
             eval_step,
-            train_batches=lambda e: batch_iterator(
-                trainset, args.batch_size, args.bucket, rng=rng_np
-            ),
-            val_batches=lambda e: batch_iterator(
-                valset, args.batch_size, args.bucket, shuffle=False
-            ),
+            train_batches=train_batches,
+            val_batches=val_batches,
             epochs=args.epochs,
             lr_schedule=cosine_annealing_warm_restarts(
                 args.lr, t_0=args.t0, eta_min=args.eta_min

@@ -194,3 +194,26 @@ def raster_dataset_from_dir(
         if f.endswith(".npy")
     )
     return RasterDataset(paths, training, noise_distance)
+
+
+def hierarchical_batch_iterator(
+    dataset: HierarchicalRasterDataset,
+    bucket: int = 512,
+    rng: np.ndarray | None = None,
+) -> Iterator[PaddedBatch]:
+    """Stream raster minibatches of every tree as ordinary train batches.
+
+    TPU equivalent of the reference's hierarchical-streaming training
+    (``forward_hierarchical_streaming`` + immediate per-minibatch backward,
+    ``PointNet2.py:210-327``): the per-minibatch loss there is exactly the
+    masked per-raster loss, so each minibatch simply becomes one optimizer
+    step through the standard harness.
+    """
+    rng = rng if rng is not None else np.random.default_rng(0)
+    order = np.arange(len(dataset))
+    if dataset.training:
+        rng.shuffle(order)
+    for t in order:
+        tree = dataset[int(t)]
+        for batch, _point_ids in dataset.minibatches(tree, bucket):
+            yield batch
