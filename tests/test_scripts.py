@@ -170,3 +170,46 @@ class TestPipelineCLI:
             f for f in os.listdir(out_dir) if f.endswith("_cylinders.csv")
         ]
         assert csvs, list(os.listdir(out_dir))
+
+
+class TestHierarchicalTrainCLI:
+    def test_streaming_raster_training(self, data_root, tmp_path):
+        from treemorph_tpu.preprocess import rasterize_clouds
+
+        labeled_dir = str(data_root / "labeled")
+        clouds = sorted(
+            os.path.join(labeled_dir, f)
+            for f in os.listdir(labeled_dir)
+            if f.endswith(".npy")
+        )
+        json_path = str(tmp_path / "meta.json")
+        rasterize_clouds(
+            clouds,
+            json_path=json_path,
+            raster_size=3.0,
+            stride=3.0,
+            store_metadata=True,
+        )
+        r = run(
+            [
+                "scripts/train.py",
+                "pointnet2",
+                "--hierarchical_json",
+                json_path,
+                "--save_dir",
+                str(tmp_path / "saves"),
+                "--epochs",
+                "1",
+                "--bucket",
+                "128",
+                "--minibatch_size",
+                "4",
+                "--depth",
+                "2",
+                "--test_plots",
+                "3",
+            ],
+            timeout=1200,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert (tmp_path / "saves" / "pointnet2_CV" / "P3").exists()
