@@ -163,3 +163,32 @@ class TestQSM:
         sph_path = str(tmp_path / "sph.ply")
         export_clusters_spheres_ply(clusters, sph_path, resolution=4)
         assert "ply" in open(sph_path).readline()
+
+
+class TestQSMRegression:
+    def test_seeded_fit_golden_properties(self):
+        """Regression guard: a seeded fit on a fixed synthetic tree must
+        keep its structural properties stable (count band, radii band,
+        connectivity) — the QSM analog of the reference's golden visual
+        checks, made numeric."""
+        rng = np.random.default_rng(99)
+        qsm = synthetic_qsm(n_branches=2, rng=rng)
+        points, _ = synthetic_tree_cloud(
+            qsm=qsm, points_per_m2=600, noise_scale=0.004,
+            outlier_fraction=0.0, rng=rng,
+        )
+        df, tracker, clusters, seg = fit_qsm(
+            points, params=QSMParams(seed=42)
+        )
+        assert 5 <= len(df) <= 200
+        radii = df["radius"].to_numpy()
+        # true radii are 0.075..0.25; fitted radii clamped to params band
+        assert radii.min() >= 0.0
+        assert radii.max() <= 0.4 + 1e-6
+        # connected: most cylinders have a parent
+        frac_rooted = (df["parentID"].notna()).mean()
+        assert frac_rooted > 0.5
+        # cylinders live inside the cloud's bounding box (with slack)
+        lo, hi = points.min(0) - 0.5, points.max(0) + 0.5
+        centers = df[["startX", "startY", "startZ"]].to_numpy()
+        assert ((centers >= lo) & (centers <= hi)).all()
