@@ -61,6 +61,10 @@ def parse_args():
                    help="rasters per minibatch in hierarchical mode")
     p.add_argument("--debug_nans", action="store_true",
                    help="fail at the first NaN-producing op")
+    p.add_argument("--augment", action="store_true",
+                   help="apply the default training augmentations "
+                        "(z-rotation, xy-flip, scale, target-preserving "
+                        "jitter)")
     # family hyperparameters
     p.add_argument("--voxel_size", type=float, default=None)
     p.add_argument("--num_blocks", type=int, default=3)
@@ -202,6 +206,12 @@ def main():
                 noise_distance=args.noise_distance,
                 noise_root=args.noise_root,
             )
+        if args.augment:
+            from treemorph_tpu.data.augmentations import (
+                default_augmentations,
+            )
+
+            trainset.augment = default_augmentations()
         rng_np = np.random.default_rng(args.seed)
         if hierarchical:
             from treemorph_tpu.data.rasterized import (

@@ -91,3 +91,53 @@ class TestEarlyStopper:
         stopper(None, 0.9, 0.5)
         assert stopper.counter == 0
         assert not stopper.early_stop
+
+
+class TestAugmentations:
+    def test_offsets_stay_consistent(self, rng):
+        """Every augmentation must keep (points + offsets) equal to the
+        transformed surface targets."""
+        from treemorph_tpu.data.augmentations import (
+            default_augmentations,
+            random_jitter,
+            random_rotation_z,
+        )
+        from treemorph_tpu.fixtures import synthetic_cylinder_cloud
+
+        labeled = synthetic_cylinder_cloud(500, rng=rng)
+        points, offsets = labeled[:, :3], labeled[:, 3:6]
+        targets = points + offsets
+
+        aug = default_augmentations()
+        g = np.random.default_rng(0)
+        new_pts, new_offs = aug(points, offsets, g)
+        new_targets = new_pts + new_offs
+        # targets transform rigidly+scale: radial distance to the z axis
+        # over the target set keeps its ratio structure
+        r_old = np.hypot(targets[:, 0], targets[:, 1])
+        r_new = np.hypot(new_targets[:, 0], new_targets[:, 1])
+        ratio = r_new / np.maximum(r_old, 1e-9)
+        np.testing.assert_allclose(ratio, ratio[0], rtol=1e-4)
+
+    def test_jitter_preserves_targets_exactly(self, rng):
+        from treemorph_tpu.data.augmentations import random_jitter
+
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        offs = rng.normal(size=(100, 3)).astype(np.float32)
+        aug = random_jitter(sigma=0.01)
+        g = np.random.default_rng(1)
+        p2, o2 = aug(pts, offs, g)
+        np.testing.assert_allclose(p2 + o2, pts + offs, atol=1e-6)
+        assert not np.allclose(p2, pts)
+
+    def test_rotation_preserves_norms(self, rng):
+        from treemorph_tpu.data.augmentations import random_rotation_z
+
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        offs = rng.normal(size=(100, 3)).astype(np.float32)
+        p2, o2 = random_rotation_z()(pts, offs, np.random.default_rng(2))
+        np.testing.assert_allclose(
+            np.linalg.norm(p2, axis=1), np.linalg.norm(pts, axis=1),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(p2[:, 2], pts[:, 2], atol=1e-6)
