@@ -88,7 +88,15 @@ def build(args, batch_size: int):
             voxel_size=args.voxel_size or 0.02,
             batch_size=batch_size,
         )
-        fam = families.treelearn_family(
+        # With a noise_root the semantic head trains on a second backbone
+        # pass over the synthetic noise clouds (reference
+        # TreeLearn.py:98-105).
+        family_fn = (
+            families.treelearn_noise_family
+            if args.noise_root
+            else families.treelearn_family
+        )
+        fam = family_fn(
             model, args.loss_multiplier_semantic, args.loss_multiplier_offset
         )
         init = families.init_treelearn

@@ -31,7 +31,17 @@ from ..utils.io import load_cloud
 
 
 class PaddedBatch(NamedTuple):
-    """Canonical static-shape batch. All arrays padded to (B, N, ...)."""
+    """Canonical static-shape batch. All arrays padded to (B, N, ...).
+
+    The optional ``noise_*`` quartet carries the separate synthetic
+    noise clouds (reference ``TreeSet.py:111-121`` + ``collate_fn_voxel``
+    noise keys): padded to their own (B, M) — M is independent of N
+    because noise clouds have different point counts than the main
+    clouds. The semantic head trains on these via a second backbone pass
+    (:func:`treemorph_tpu.train.families.treelearn_noise_family`).
+    All four are ``None`` unless every sample in the batch has a noise
+    cloud.
+    """
 
     coords: np.ndarray  # (B, N, 3) float32
     feats: np.ndarray  # (B, N, F) float32
@@ -39,6 +49,10 @@ class PaddedBatch(NamedTuple):
     semantic_labels: np.ndarray  # (B, N) int32: 1 = noise, 0 = keep
     mask_valid: np.ndarray  # (B, N) bool: real (non-pad) points
     mask_off: np.ndarray  # (B, N) bool: points with offset supervision
+    noise_coords: np.ndarray | None = None  # (B, M, 3) float32
+    noise_feats: np.ndarray | None = None  # (B, M, F) float32
+    noise_semantic: np.ndarray | None = None  # (B, M) int32
+    noise_valid: np.ndarray | None = None  # (B, M) bool
 
     @property
     def batch_size(self) -> int:
@@ -64,6 +78,14 @@ class PaddedBatch(NamedTuple):
         }
 
 
+def _cloud_stem(name: str) -> str:
+    """``3_1_labeled.npy`` / ``3_1.npy`` -> ``3_1``."""
+    stem = os.path.splitext(name)[0]
+    if stem.endswith("_labeled"):
+        stem = stem[: -len("_labeled")]
+    return stem
+
+
 def pad_to_bucket(n: int, bucket: int = 1024) -> int:
     """Round n up to a multiple of ``bucket`` (recompile containment)."""
     return max(((n + bucket - 1) // bucket) * bucket, bucket)
@@ -77,6 +99,11 @@ class TreeSample:
     semantic_label: np.ndarray  # (N,) int32
     offset_mask: np.ndarray  # (N,) bool
     path: str
+    # Separate synthetic noise cloud (reference TreeSet.py:111-121);
+    # its length M is generally different from N.
+    noise_points: np.ndarray | None = None  # (M, 3)
+    noise_feats: np.ndarray | None = None  # (M, F)
+    noise_semantic: np.ndarray | None = None  # (M,) int32
 
 
 class TreeDataset:
@@ -112,11 +139,16 @@ class TreeDataset:
         else:
             self.data_paths = list(paths)
 
+        # Keyed by exact basename (reference TreeSet.py:44-49) and by the
+        # ``{plot}_{tree}`` stem, so noise clouds written as ``3_1.npy``
+        # match labeled clouds named ``3_1_labeled.npy``.
         self.noise_dict: dict[str, str] = {}
         if noise_root:
             for name in os.listdir(noise_root):
                 if name.endswith(".npy"):
-                    self.noise_dict[name] = os.path.join(noise_root, name)
+                    path_ = os.path.join(noise_root, name)
+                    self.noise_dict[name] = path_
+                    self.noise_dict.setdefault(_cloud_stem(name), path_)
 
         self.training = training
         self.noise_distance = noise_distance
@@ -142,15 +174,26 @@ class TreeDataset:
         off_norm = np.linalg.norm(offsets, axis=1)
         offset_mask = off_norm <= self.noise_distance
 
+        # Main-cloud semantic labels (reference TreeSet.py:122); when a
+        # separate noise cloud exists, the noise labels below supersede
+        # these for the semantic head (the reference replaces the label
+        # array outright, :111-121 — here both are carried so the offset
+        # path stays aligned with the main cloud).
+        semantic = (off_norm > self.noise_distance).astype(np.int32)
+
+        noise_points = noise_feats = noise_semantic = None
         name = os.path.basename(path)
-        if name in self.noise_dict:
-            noise = np.load(self.noise_dict[name])
+        noise_path = self.noise_dict.get(name) or self.noise_dict.get(
+            _cloud_stem(name)
+        )
+        if noise_path is not None:
+            noise = np.load(noise_path).astype(np.float32)
+            noise_points = noise[:, :3]
+            noise_feats = noise[:, 7:]
             noise_norm = np.linalg.norm(noise[:, 3:6], axis=1)
-            # The separate noise cloud drives the semantic head; points come
-            # from it too so labels and coords stay aligned.
-            semantic = (noise_norm > self.noise_distance).astype(np.int32)
-        else:
-            semantic = (off_norm > self.noise_distance).astype(np.int32)
+            noise_semantic = (noise_norm > self.noise_distance).astype(
+                np.int32
+            )
 
         if self.augment is not None and self.training:
             points, offsets = self.augment(points, offsets)
@@ -162,6 +205,9 @@ class TreeDataset:
             semantic_label=semantic,
             offset_mask=offset_mask,
             path=path,
+            noise_points=noise_points,
+            noise_feats=noise_feats,
+            noise_semantic=noise_semantic,
         )
 
 
@@ -188,7 +234,36 @@ def make_padded_batch(
         sem[i, :n] = s.semantic_label
         valid[i, :n] = True
         moff[i, :n] = s.offset_mask
-    return PaddedBatch(coords, feats, offs, sem, valid, moff)
+
+    has_noise = [s.noise_points is not None for s in samples]
+    if not any(has_noise):
+        return PaddedBatch(coords, feats, offs, sem, valid, moff)
+    if not all(has_noise):
+        # The reference's forward would shape-mismatch on a mixed batch
+        # (noise logits vs mixed-length labels); fail loudly instead.
+        raise ValueError(
+            "mixed batch: some samples have a noise cloud, some do not "
+            f"({[s.path for s, h in zip(samples, has_noise) if not h]})"
+        )
+
+    max_m = pad_to_bucket(max(len(s.noise_points) for s in samples), bucket)
+    n_coords = np.zeros((b, max_m, 3), np.float32)
+    n_feats = np.zeros((b, max_m, f), np.float32)
+    n_sem = np.zeros((b, max_m), np.int32)
+    n_valid = np.zeros((b, max_m), bool)
+    for i, s in enumerate(samples):
+        m = len(s.noise_points)
+        n_coords[i, :m] = s.noise_points
+        n_feats[i, :m] = s.noise_feats
+        n_sem[i, :m] = s.noise_semantic
+        n_valid[i, :m] = True
+    return PaddedBatch(
+        coords, feats, offs, sem, valid, moff,
+        noise_coords=n_coords,
+        noise_feats=n_feats,
+        noise_semantic=n_sem,
+        noise_valid=n_valid,
+    )
 
 
 def batch_iterator(

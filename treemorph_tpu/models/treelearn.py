@@ -5,8 +5,8 @@ Capability parity with the reference model
 voxelize -> input submanifold conv -> recursive U-Net (channels i*32,
 stride-2 down / inverse up convs, pairs of residual blocks, skip concat) ->
 BN+ReLU -> per-point unprojection -> MLP heads. The optional separate
-noise-cloud backbone pass (``TreeLearn.py:98-105``) is provided by
-:func:`treelearn_forward_with_noise` at the family-adapter level.
+noise-cloud backbone pass (``TreeLearn.py:98-105``) is wired up by
+:func:`treemorph_tpu.train.families.treelearn_noise_family`.
 
 TPU redesign: spconv's rulebook GPU kernels are replaced by the hash-table
 gather/scatter engine in :mod:`treemorph_tpu.ops.sparse`; every resolution

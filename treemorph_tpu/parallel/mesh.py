@@ -56,6 +56,8 @@ def pad_batch_to_multiple(batch, multiple: int):
         return batch
 
     def pad_leading(x):
+        if x is None:  # optional fields (e.g. PaddedBatch noise quartet)
+            return None
         widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
         return np.pad(np.asarray(x), widths)
 

@@ -126,6 +126,93 @@ def treelearn_family(
     return forward_fn, loss_fn
 
 
+def _flatten_noise(batch):
+    """PaddedBatch noise quartet -> flat voxel-model arrays."""
+    if batch.noise_coords is None:
+        raise ValueError(
+            "noise-cloud training requested but this batch carries no "
+            "noise clouds — every cloud in the dataset needs a matching "
+            ".npy under --noise_root (matched by basename or "
+            "'{plot}_{tree}' stem)"
+        )
+    b, m = batch.noise_coords.shape[:2]
+    batch_ids = jnp.repeat(
+        jnp.arange(b, dtype=jnp.int32), m, total_repeat_length=b * m
+    )
+    return {
+        "coords": jnp.reshape(batch.noise_coords, (b * m, 3)),
+        "feats": jnp.reshape(batch.noise_feats, (b * m, -1)),
+        "batch_ids": batch_ids,
+        "mask_valid": jnp.reshape(batch.noise_valid, (b * m,)),
+        "semantic_labels": jnp.reshape(batch.noise_semantic, (b * m,)),
+    }
+
+
+def treelearn_noise_family(
+    model: TreeLearn,
+    loss_multiplier_semantic: float = 1.0,
+    loss_multiplier_offset: float = 1.0,
+) -> tuple[Callable, Callable]:
+    """TreeLearn with the separate noise-cloud semantic pass.
+
+    Matches the reference's noise-cloud training (``TreeLearn.py:98-105``,
+    ``137-141``): the backbone runs a second, weight-shared pass over the
+    synthetic noise cloud, the semantic head reads that pass, and the
+    semantic CE is computed against the noise cloud's labels — whose
+    length differs from the main cloud's. The offset loss stays on the
+    main cloud. Batches must carry the ``noise_*`` quartet
+    (``PaddedBatch`` built from samples with noise clouds).
+    """
+
+    def forward_fn(params, batch_stats, batch, train, rng):
+        flat = _flatten_padded(batch)
+        nflat = _flatten_noise(batch)
+        variables = {"params": params, "batch_stats": batch_stats}
+        args = (
+            flat["coords"],
+            flat["feats"],
+            flat["batch_ids"],
+            flat["mask_valid"],
+        )
+        kwargs = dict(
+            noise_coords=nflat["coords"],
+            noise_feats=nflat["feats"],
+            noise_batch_ids=nflat["batch_ids"],
+            noise_valid=nflat["mask_valid"],
+        )
+        if train:
+            out, mutated = model.apply(
+                variables, *args, train=True, mutable=["batch_stats"],
+                **kwargs,
+            )
+            return out, mutated["batch_stats"]
+        return (
+            model.apply(variables, *args, train=False, **kwargs),
+            batch_stats,
+        )
+
+    def loss_fn(output, batch):
+        from ..models.loss import point_wise_loss
+
+        flat = _flatten_padded(batch)
+        nflat = _flatten_noise(batch)
+        sem_loss, off_loss = point_wise_loss(
+            output["semantic_prediction_logits"],
+            output["offset_predictions"],
+            nflat["semantic_labels"],
+            flat["offset_labels"],
+            semantic_mask=nflat["mask_valid"],
+            offset_mask=flat["mask_valid"] & flat["mask_off"],
+        )
+        loss_dict = {
+            "semantic_loss": sem_loss * loss_multiplier_semantic,
+            "offset_loss": off_loss * loss_multiplier_offset,
+        }
+        return sum(loss_dict.values()), loss_dict
+
+    return forward_fn, loss_fn
+
+
 def init_treelearn(model: TreeLearn, example_batch, rng: jax.Array):
     flat = _flatten_padded(
         jax.tree.map(jnp.asarray, example_batch)
