@@ -59,6 +59,11 @@ def parse_args():
                         "minibatch-streaming mode)")
     p.add_argument("--minibatch_size", type=int, default=20,
                    help="rasters per minibatch in hierarchical mode")
+    p.add_argument("--per_minibatch_steps", action="store_true",
+                   help="hierarchical mode: step the optimizer per raster "
+                        "minibatch instead of accumulating gradients over "
+                        "a tree batch (the reference accumulates; "
+                        "train_utils.py:46-62)")
     p.add_argument("--debug_nans", action="store_true",
                    help="fail at the first NaN-producing op")
     p.add_argument("--augment", action="store_true",
@@ -224,16 +229,31 @@ def main():
         if hierarchical:
             from treemorph_tpu.data.rasterized import (
                 hierarchical_batch_iterator,
+                hierarchical_group_iterator,
             )
 
             example = next(
                 hierarchical_batch_iterator(trainset, args.bucket)
             )
 
-            def train_batches(epoch):
-                return hierarchical_batch_iterator(
-                    trainset, args.bucket, rng=rng_np
-                )
+            if args.per_minibatch_steps:
+                # round-1 behavior: each raster minibatch = one step
+                def train_batches(epoch):
+                    return hierarchical_batch_iterator(
+                        trainset, args.bucket, rng=rng_np
+                    )
+
+            else:
+                # reference semantics: accumulate grads over a tree-batch's
+                # minibatches, ONE optimizer step per tree batch
+                # (train_utils.py:46-62, PointNet2.py:296)
+                def train_batches(epoch):
+                    return hierarchical_group_iterator(
+                        trainset,
+                        args.bucket,
+                        rng=rng_np,
+                        trees_per_step=args.batch_size,
+                    )
 
             def val_batches(epoch):
                 return hierarchical_batch_iterator(valset, args.bucket)
@@ -262,6 +282,11 @@ def main():
         state = create_train_state(variables, tx)
         train_step = make_train_step(forward_fn, loss_fn, tx)
         eval_step = make_eval_step(forward_fn, loss_fn)
+        accum_steps = None
+        if hierarchical and not args.per_minibatch_steps:
+            from treemorph_tpu.train.harness import make_accum_steps
+
+            accum_steps = make_accum_steps(forward_fn, loss_fn, tx)
 
         ckpt_path = os.path.join(args.save_dir, f"{name}_CV", f"P{plot}")
         metadata = {
@@ -293,6 +318,7 @@ def main():
             mesh=mesh,
             rng=jax.random.key(args.seed),
             verbose=args.verbose,
+            accum_steps=accum_steps,
         )
         logging.info(
             "fold P%s done: best val %.4f", plot, stopper.best_loss

@@ -203,11 +203,13 @@ def hierarchical_batch_iterator(
 ) -> Iterator[PaddedBatch]:
     """Stream raster minibatches of every tree as ordinary train batches.
 
-    TPU equivalent of the reference's hierarchical-streaming training
-    (``forward_hierarchical_streaming`` + immediate per-minibatch backward,
-    ``PointNet2.py:210-327``): the per-minibatch loss there is exactly the
-    masked per-raster loss, so each minibatch simply becomes one optimizer
-    step through the standard harness.
+    NOTE: through the standard harness each minibatch is its own
+    optimizer step — a DEVIATION from the reference, which accumulates
+    gradients across all of a tree-batch's minibatches and applies ONE
+    optimizer step (``train_utils.py:46-62`` + ``PointNet2.py:296``).
+    Use :func:`hierarchical_group_iterator` with
+    :func:`treemorph_tpu.train.harness.make_accum_steps` for the
+    reference semantics (the training CLI default).
     """
     rng = rng if rng is not None else np.random.default_rng(0)
     order = np.arange(len(dataset))
@@ -217,3 +219,33 @@ def hierarchical_batch_iterator(
         tree = dataset[int(t)]
         for batch, _point_ids in dataset.minibatches(tree, bucket):
             yield batch
+
+
+def hierarchical_group_iterator(
+    dataset: HierarchicalRasterDataset,
+    bucket: int = 512,
+    rng: np.ndarray | None = None,
+    trees_per_step: int = 1,
+) -> Iterator[Iterator[PaddedBatch]]:
+    """Yield one GROUP of raster minibatches per optimizer step.
+
+    Matches the reference's hierarchical streaming training: a
+    tree-batch of ``trees_per_step`` trees is cut into raster
+    minibatches, each minibatch backpropagates into a shared gradient
+    accumulator, and the optimizer steps once per group
+    (``train_utils.py:46-62``, ``PointNet2.py:296``). Feed the groups to
+    ``run_training(..., accum_steps=make_accum_steps(...))``.
+    """
+    rng = rng if rng is not None else np.random.default_rng(0)
+    order = np.arange(len(dataset))
+    if dataset.training:
+        rng.shuffle(order)
+
+    def group(tree_idxs):
+        for t in tree_idxs:
+            tree = dataset[int(t)]
+            for batch, _point_ids in dataset.minibatches(tree, bucket):
+                yield batch
+
+    for start in range(0, len(order), trees_per_step):
+        yield group(order[start : start + trees_per_step])

@@ -105,6 +105,61 @@ def make_train_step(
     return train_step
 
 
+def make_accum_steps(
+    forward_fn: Callable,
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+):
+    """Gradient-accumulation step pair for hierarchical streaming training.
+
+    Matches the reference's one-optimizer-step-per-tree-batch semantics
+    (``train_utils.py:46-62`` + ``PointNet2.py:296``): each raster
+    minibatch's scaled-loss gradient is summed into an accumulator (torch's
+    ``.backward()`` accumulation), the global-norm clip inside ``tx`` is
+    applied once to the ACCUMULATED gradient, then a single optimizer step.
+
+    Returns ``(accum_step, apply_step)``:
+
+    - ``accum_step(state, batch, rng, grads) -> (state, grads, metrics)``
+      runs forward+backward on one minibatch and adds into ``grads``
+      (initialise with ``jax.tree.map(jnp.zeros_like, state.params)``);
+      batch_stats update as usual per minibatch.
+    - ``apply_step(state, grads, lr) -> state`` applies one optimizer step.
+    """
+
+    @jax.jit
+    def accum_step(state: TrainState, batch, rng, grads):
+        def compute(params):
+            out, new_bs = forward_fn(
+                params, state.batch_stats, batch, True, rng
+            )
+            loss, loss_dict = loss_fn(out, batch)
+            return loss * LOSS_BACKWARD_SCALE, (new_bs, loss, loss_dict)
+
+        g, (new_bs, loss, loss_dict) = jax.grad(compute, has_aux=True)(
+            state.params
+        )
+        new_grads = jax.tree.map(jnp.add, grads, g)
+        return (
+            state.replace(batch_stats=new_bs),
+            new_grads,
+            {"loss": loss, **loss_dict},
+        )
+
+    @jax.jit
+    def apply_step(state: TrainState, grads, lr):
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        return TrainState(
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=state.batch_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+
+    return accum_step, apply_step
+
+
 def make_eval_step(forward_fn: Callable, loss_fn: Callable):
     @jax.jit
     def eval_step(state: TrainState, batch):
@@ -127,16 +182,30 @@ def run_training(
     mesh=None,
     rng: Optional[jax.Array] = None,
     verbose: bool = False,
+    accum_steps: Optional[tuple] = None,
 ):
     """Epoch loop with per-epoch validation, logging and early stopping.
 
     Mirrors reference ``run_training`` (train_utils.py:130-197). When a mesh
     is given, batches are padded to the mesh size and sharded on their
     leading axis; the state is replicated once.
+
+    With ``accum_steps=(accum_step, apply_step)`` (built by
+    :func:`make_accum_steps`), ``train_batches(epoch)`` must yield
+    *groups* — iterables of PaddedBatch minibatches — and each group gets
+    gradient accumulation + ONE optimizer step (the reference's
+    hierarchical streaming, ``train_utils.py:46-62``); ``train_step`` is
+    then unused.
     """
     rng = rng if rng is not None else jax.random.key(0)
     if mesh is not None:
         state = replicate(state, mesh)
+
+    def prepare(batch):
+        if mesh is not None:
+            batch = pad_batch_to_multiple(batch, mesh.devices.size)
+            batch = shard_batch(batch, mesh)
+        return batch
 
     history = []
     for epoch in range(epochs):
@@ -144,20 +213,29 @@ def run_training(
         t0 = time.time()
 
         train_metrics = []
-        for batch in train_batches(epoch):
-            if mesh is not None:
-                batch = pad_batch_to_multiple(batch, mesh.devices.size)
-                batch = shard_batch(batch, mesh)
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = train_step(state, batch, lr, step_rng)
-            train_metrics.append(metrics)
+        if accum_steps is not None:
+            accum_step, apply_step = accum_steps
+            for group in train_batches(epoch):
+                grads = jax.tree.map(jnp.zeros_like, state.params)
+                n_mb = 0
+                for batch in group:
+                    rng, step_rng = jax.random.split(rng)
+                    state, grads, metrics = accum_step(
+                        state, prepare(batch), step_rng, grads
+                    )
+                    train_metrics.append(metrics)
+                    n_mb += 1
+                if n_mb:
+                    state = apply_step(state, grads, lr)
+        else:
+            for batch in train_batches(epoch):
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = train_step(state, prepare(batch), lr, step_rng)
+                train_metrics.append(metrics)
 
         val_metrics = []
         for batch in val_batches(epoch):
-            if mesh is not None:
-                batch = pad_batch_to_multiple(batch, mesh.devices.size)
-                batch = shard_batch(batch, mesh)
-            val_metrics.append(eval_step(state, batch))
+            val_metrics.append(eval_step(state, prepare(batch)))
 
         def mean_of(ms, key):
             if not ms:
