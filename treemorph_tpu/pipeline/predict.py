@@ -190,6 +190,154 @@ def predict_rasterized(
     return out
 
 
+def predict_rasterized_sharded(
+    cloud: np.ndarray,
+    offset_model: Predictor | None = None,
+    noise_model: Predictor | None = None,
+    predict_offset: bool = True,
+    denoise: bool = True,
+    raster_size: float = 1.0,
+    stride: float = 1.0,
+    minibatch_size: int = 60,
+    bucket: int = 512,
+    mesh=None,
+) -> np.ndarray:
+    """Plot-scale inference sharded over the device mesh.
+
+    The TPU scale-out of the reference's raster streaming
+    (``PointNet2.py:329-394``, ``RasterizedTreeSet.py:390-459``): raster
+    tiles are sharded across the mesh's ``data`` axis with ``shard_map``,
+    every chip runs the model over its local minibatches (``lax.scan``),
+    scatter-adds predictions into a full-cloud accumulator ON DEVICE, and
+    the per-point sums are reassembled with ``psum_scatter`` (each chip
+    ends up holding a 1/n slice of the cloud — one cross-chip reduce, no
+    host round-trips per minibatch). Per-point results equal
+    :func:`predict_rasterized` (same rasters, same forwards, same
+    scatter-mean; accumulation is f32 on device vs f64 on host).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None:
+        return predict_rasterized(
+            cloud,
+            offset_model,
+            noise_model,
+            predict_offset,
+            denoise,
+            raster_size=raster_size,
+            stride=stride,
+            minibatch_size=minibatch_size,
+            bucket=bucket,
+        )
+
+    pts = np.asarray(cloud, np.float32)[:, :3]
+    if not predict_offset and not denoise:
+        return pts
+    feats = (
+        np.asarray(cloud, np.float32)[:, 7:11]
+        if cloud.shape[1] >= 11
+        else np.zeros((len(pts), 4), np.float32)
+    )
+    rasters = raster_assignments(pts, raster_size, stride)
+    if not rasters:
+        return pts
+
+    n_dev = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+    max_pts = pad_to_bucket(max(len(i) for _, i in rasters), bucket)
+
+    # Global raster->point gather table, padded so every device gets the
+    # same number of whole minibatches.
+    r = len(rasters)
+    r_per_dev = -(-r // n_dev)
+    r_per_dev = -(-r_per_dev // minibatch_size) * minibatch_size
+    r_pad = r_per_dev * n_dev
+    idx = np.zeros((r_pad, max_pts), np.int32)
+    vmask = np.zeros((r_pad, max_pts), bool)
+    for i, (_, pidx) in enumerate(rasters):
+        idx[i, : len(pidx)] = pidx
+        vmask[i, : len(pidx)] = True
+
+    n = len(pts)
+    n_pad = -(-n // n_dev) * n_dev
+    pts_g = np.zeros((n_pad, 3), np.float32)
+    feats_g = np.zeros((n_pad, feats.shape[1]), np.float32)
+    pts_g[:n] = pts
+    feats_g[:n] = feats
+
+    def run_model(model: Predictor, want: str):
+        dim = 3 if want == "offset_predictions" else 2
+
+        def shard_fn(idx_s, vm_s, pts_rep, feats_rep, variables):
+            # idx_s: (r_per_dev, max_pts) — this chip's rasters.
+            chunks = idx_s.reshape(-1, minibatch_size, max_pts)
+            vchunks = vm_s.reshape(-1, minibatch_size, max_pts)
+
+            def body(carry, chunk):
+                acc, cnt = carry
+                ci, cv = chunk
+                coords = pts_rep[ci] * cv[..., None]
+                f = feats_rep[ci] * cv[..., None]
+                out = model.model.apply(
+                    variables, coords, f, cv, train=False
+                )
+                w = cv.astype(jnp.float32).reshape(-1)
+                vals = jnp.where(
+                    cv[..., None], out[want], 0.0
+                ).reshape(-1, dim)
+                flat = ci.reshape(-1)
+                acc = acc.at[flat].add(vals.astype(jnp.float32))
+                cnt = cnt.at[flat].add(w)
+                return (acc, cnt), None
+
+            acc0 = jnp.zeros((n_pad, dim), jnp.float32)
+            cnt0 = jnp.zeros((n_pad,), jnp.float32)
+            (acc, cnt), _ = jax.lax.scan(body, (acc0, cnt0), (chunks, vchunks))
+            # One collective: every chip keeps its 1/n slice of the sums.
+            acc = jax.lax.psum_scatter(
+                acc, axis, scatter_dimension=0, tiled=True
+            )
+            cnt = jax.lax.psum_scatter(
+                cnt, axis, scatter_dimension=0, tiled=True
+            )
+            return acc, cnt
+
+        run = jax.jit(
+            shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(), P(), P()),
+                out_specs=(P(axis), P(axis)),
+                # the model's internal fori_loop carries trip the
+                # varying-axes checker; collectives here are explicit
+                check_vma=False,
+            )
+        )
+        acc, cnt = run(
+            jnp.asarray(idx),
+            jnp.asarray(vmask),
+            jnp.asarray(pts_g),
+            jnp.asarray(feats_g),
+            model.variables,
+        )
+        acc = np.array(acc[:n])
+        cnt = np.array(cnt[:n])
+        nz = cnt > 0
+        acc[nz] /= cnt[nz, None]
+        return acc.astype(np.float32)
+
+    out = pts.copy()
+    if predict_offset and offset_model is not None:
+        out = out + run_model(offset_model, "offset_predictions")
+    if denoise and noise_model is not None:
+        logits = run_model(noise_model, "semantic_prediction_logits")
+        out = out[logits.argmax(axis=1) == 0]
+    return out
+
+
 def make_predictions(
     cloud: np.ndarray,
     model_type: str,
@@ -200,14 +348,16 @@ def make_predictions(
     raster_size: float = 1.0,
     stride: float = 1.0,
     minibatch_size: int = 60,
+    mesh=None,
 ) -> np.ndarray:
-    """Dispatch by family (reference Pipeline.py:110-131)."""
+    """Dispatch by family (reference Pipeline.py:110-131). With a mesh,
+    the raster path shards tiles over the chips."""
     if model_type in ("treelearn", "pointtransformerv3"):
         return predict_single(
             cloud, offset_model, noise_model, predict_offset, denoise
         )
     if model_type == "pointnet2":
-        return predict_rasterized(
+        return predict_rasterized_sharded(
             cloud,
             offset_model,
             noise_model,
@@ -216,6 +366,7 @@ def make_predictions(
             raster_size=raster_size,
             stride=stride,
             minibatch_size=minibatch_size,
+            mesh=mesh,
         )
     if model_type == "no_model":
         return np.asarray(cloud, np.float32)[:, :3]

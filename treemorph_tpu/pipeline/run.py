@@ -100,6 +100,15 @@ def run_pipeline(cfg: dict, offset_model=None, noise_model=None):
     if offset_model is None and noise_model is None:
         offset_model, noise_model = load_pipeline_models(cfg, model_type)
 
+    # Shard plot-scale raster inference over all chips when available.
+    import jax
+
+    mesh = None
+    if jax.device_count() > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+
     results = []
     for cloud_path in cloud_paths:
         base = os.path.splitext(os.path.basename(cloud_path))[0]
@@ -119,6 +128,7 @@ def run_pipeline(cfg: dict, offset_model=None, noise_model=None):
                     noise_model=noise_model,
                     predict_offset=cfg["stage1"]["predict_offset"],
                     denoise=cfg["stage1"]["denoise"],
+                    mesh=mesh,
                 )
                 if general.get("save_model_predictions"):
                     suffix = "_pred" if cfg["stage1"]["predict_offset"] else ""
