@@ -210,3 +210,131 @@ class TestBf16Conv:
         assert low.dtype == np.float32  # f32 accumulation
         scale = np.abs(ref).max()
         np.testing.assert_allclose(low, ref, atol=0.05 * scale)
+
+
+def _np_hash1(c):
+    c = c.astype(np.uint32)
+    return (
+        c[..., 0] * np.uint32(2654435761)
+        ^ c[..., 1] * np.uint32(73856093)
+        ^ c[..., 2] * np.uint32(19349663)
+        ^ c[..., 3] * np.uint32(83492791)
+    )
+
+
+def _np_hash2(c):
+    c = c.astype(np.uint32)
+    return (
+        c[..., 0] * np.uint32(40503)
+        ^ c[..., 1] * np.uint32(3267000013)
+        ^ c[..., 2] * np.uint32(2860486313)
+        ^ c[..., 3] * np.uint32(805459861)
+    )
+
+
+class TestLookupCollisions:
+    """Adversarial tests for the probabilistic hash discriminator and the
+    exact ``verify_coords`` mode (VERDICT round-1 weak #7)."""
+
+    def test_forged_double_collision_caught_by_verify(self, rng):
+        # White-box: poison a table row so a non-member query's first probe
+        # slot holds a live index whose STORED hash2 equals the query's —
+        # exactly the (p ~ 2^-50) event the probabilistic mode gambles on.
+        coords, valid = random_voxels(rng, n_active=40, pad_to=64)
+        table = build_table(jnp.asarray(coords), jnp.asarray(valid))
+        q = np.array([[1, 200, 300, 400]], np.int32)  # not in the table
+        assert int(np.asarray(lookup(table, jnp.asarray(q)))[0]) == -1
+
+        slot0 = int(_np_hash1(q[0]) & np.uint32(table.mask))
+        row, lane = divmod(slot0, 8)
+        rows = np.asarray(table.rows).copy()
+        rows[row, 2 * lane] = 0  # some live member index
+        rows[row, 2 * lane + 1] = np.int32(
+            _np_hash2(q[0]).astype(np.uint32).view(np.int32)
+        )
+        poisoned = table._replace(rows=jnp.asarray(rows))
+
+        # probabilistic mode is fooled (this IS the documented risk) ...
+        assert int(np.asarray(lookup(poisoned, jnp.asarray(q)))[0]) == 0
+        # ... verify_coords catches it.
+        got = lookup(poisoned, jnp.asarray(q), verify_coords=True)
+        assert int(np.asarray(got)[0]) == -1
+
+    def test_slot_collision_hunt(self, rng):
+        # Hunt natural hash1-slot collisions: non-member queries landing on
+        # a member's probe chain. hash2 must reject every one, in both
+        # modes. With a 64-entry table (T=512) slot collisions are dense.
+        coords, valid = random_voxels(rng, n_active=64, pad_to=64, grid=16)
+        table = build_table(jnp.asarray(coords), jnp.asarray(valid))
+        member = {tuple(c) for c in coords}
+        qs = np.stack(
+            np.meshgrid(
+                np.arange(2), np.arange(24), np.arange(24), np.arange(24),
+                indexing="ij",
+            ),
+            axis=-1,
+        ).reshape(-1, 4).astype(np.int32)
+        non_member = np.array([tuple(r) not in member for r in qs])
+        member_slots = set(
+            (int(h) + p) & table.mask
+            for h in (_np_hash1(coords[valid]) & np.uint32(table.mask))
+            for p in range(6)
+        )
+        colliding = np.array(
+            [int(s) in member_slots for s in
+             (_np_hash1(qs) & np.uint32(table.mask))]
+        )
+        hunt = qs[non_member & colliding]
+        assert len(hunt) > 100  # the hunt actually found collisions
+        for verify in (False, True):
+            got = np.asarray(
+                lookup(table, jnp.asarray(hunt), verify_coords=verify)
+            )
+            np.testing.assert_array_equal(got, -1)
+
+    def test_both_modes_match_oracle_at_scale(self, rng):
+        coords, valid = random_voxels(
+            rng, n_active=800, pad_to=1024, grid=32, batches=4
+        )
+        table = build_table(jnp.asarray(coords), jnp.asarray(valid))
+        oracle = {tuple(coords[i]): i for i in range(800)}
+        qs = np.column_stack(
+            [
+                rng.integers(0, 4, 20000),
+                rng.integers(0, 40, (20000, 3)).reshape(-1, 3).T.reshape(
+                    3, -1
+                ).T,
+            ]
+        ).astype(np.int32)
+        want = np.array([oracle.get(tuple(r), -1) for r in qs])
+        for verify in (False, True):
+            got = np.asarray(
+                lookup(table, jnp.asarray(qs), verify_coords=verify)
+            )
+            np.testing.assert_array_equal(got, want)
+
+    def test_model_verify_mode_matches_default(self, rng):
+        from treemorph_tpu.models import TreeLearn
+        import jax
+
+        n = 512
+        pts = rng.normal(size=(n, 3)).astype(np.float32) * 2
+        feats = rng.normal(size=(n, 1)).astype(np.float32)
+        bids = jnp.zeros(n, jnp.int32)
+        valid = jnp.ones(n, bool)
+        outs = []
+        for vc in (False, True):
+            model = TreeLearn(
+                channels=8, num_blocks=2, voxel_size=0.1,
+                verify_coords=vc,
+            )
+            var = model.init(
+                jax.random.key(0), jnp.asarray(pts), jnp.asarray(feats),
+                bids, valid, train=False,
+            )
+            out = model.apply(
+                var, jnp.asarray(pts), jnp.asarray(feats), bids, valid,
+                train=False,
+            )
+            outs.append(np.asarray(out["offset_predictions"]))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)

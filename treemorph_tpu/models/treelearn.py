@@ -220,6 +220,7 @@ class UBlock(nn.Module):
     engine: str = "gather"
     brick_divisor: int = 4
     conv_dtype: str = "float32"
+    verify_coords: bool = False
 
     def _make_ctx(self, coords, valid):
         """Per-level conv context, shared by head and tail blocks (the
@@ -231,7 +232,13 @@ class UBlock(nn.Module):
             active = to_dense(valid.astype(jnp.float32)[:, None], bs)
             flat_mask = (active > 0).reshape(-1)
             return ("brick", bs, active, flat_mask)
-        return ("gather", build_rulebook(coords, valid, self.kernel_size))
+        return (
+            "gather",
+            build_rulebook(
+                coords, valid, self.kernel_size,
+                verify_coords=self.verify_coords,
+            ),
+        )
 
     def _run_blocks(self, x, ctx, valid, train, prefix: str):
         if ctx[0] == "brick":
@@ -286,6 +293,7 @@ class UBlock(nn.Module):
                 self.engine,
                 self.brick_divisor,
                 self.conv_dtype,
+                self.verify_coords,
                 name="u",
             )(d, ds.coarse_coords, ds.coarse_valid, train)
 
@@ -349,6 +357,7 @@ class TreeLearnBackbone(nn.Module):
     engine: str = "gather"  # or "brick" (ops/bricks.py dense-brick convs)
     brick_divisor: int = 4
     conv_dtype: str = "float32"  # bfloat16: ~5x faster convs, f32 accum
+    verify_coords: bool = False  # exact (collision-proof) hash lookups
 
     @nn.compact
     def __call__(self, coords, feats, batch_ids, valid, train: bool):
@@ -378,7 +387,10 @@ class TreeLearnBackbone(nn.Module):
                 vox.voxel_feats, bs, active, v_valid
             )
         else:
-            rulebook = build_rulebook(v_coords, v_valid, self.kernel_size)
+            rulebook = build_rulebook(
+                v_coords, v_valid, self.kernel_size,
+                verify_coords=self.verify_coords,
+            )
             x = SubMConv(
                 self.channels,
                 self.kernel_size,
@@ -393,6 +405,7 @@ class TreeLearnBackbone(nn.Module):
             engine=self.engine,
             brick_divisor=self.brick_divisor,
             conv_dtype=self.conv_dtype,
+            verify_coords=self.verify_coords,
             name="unet",
         )(x, v_coords, v_valid, train)
         x = MaskedBatchNorm(name="output_norm")(x, v_valid, train)
@@ -431,6 +444,7 @@ class TreeLearn(nn.Module):
     engine: str = "gather"  # or "brick"
     brick_divisor: int = 4
     conv_dtype: str = "float32"
+    verify_coords: bool = False
 
     @nn.compact
     def __call__(
@@ -457,6 +471,7 @@ class TreeLearn(nn.Module):
             engine=self.engine,
             brick_divisor=self.brick_divisor,
             conv_dtype=self.conv_dtype,
+            verify_coords=self.verify_coords,
             name="backbone",
         )
         point_feats, vox = backbone(coords, feats, batch_ids, valid, train)

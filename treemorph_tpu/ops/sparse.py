@@ -5,11 +5,14 @@ Replaces spconv (``SubMConv3d`` / ``SparseConv3d`` stride 2 /
 (``/root/reference/Modules/TreeLearn/blocks.py:44-151``) and PTv3's xCPE
 stem. There is no scatter-based GPU rulebook here; the TPU formulation is:
 
-1. **Voxel lookup table**: active voxels (padded to a static M) are hashed
-   with a spatial mix hash and sorted by hash value. Neighbor lookup for any
-   coordinate is a two-probe ``searchsorted`` into the sorted hash array
-   followed by exact coordinate verification over a small static probe
-   window (hash collisions are verified away, never trusted).
+1. **Voxel lookup table**: active voxels (padded to a static M) are placed
+   in a bucketed open-addressing hash table. A lookup matches on the probe
+   position (hash1, ~log2(T) bits) plus a stored independent 32-bit hash2 —
+   a >50-bit probabilistic discriminator (see :func:`lookup`). Pass
+   ``verify_coords=True`` (``build_rulebook``/``lookup``) to add an exact
+   coordinate-verify gather on every candidate match; this makes lookups
+   collision-proof at the cost of one extra (Q, 4) gather and is the mode
+   parity tests run under.
 2. **Rulebook**: for each voxel and each kernel offset, the index of the
    neighbor voxel (or M, a zero pad row). Built once per level per forward
    and shared by every submanifold conv at that level (the reference's
@@ -147,15 +150,21 @@ def searchsorted_unrolled(
     return count
 
 
-def lookup(table: VoxelTable, query_coords: jax.Array) -> jax.Array:
+def lookup(
+    table: VoxelTable, query_coords: jax.Array, verify_coords: bool = False
+) -> jax.Array:
     """Index of each query coordinate in the table, or -1.
 
     query_coords: (..., 4) int32. Returns (...,) int32.
 
     A match requires hash1 agreement (slot position, ~log2(T) bits) AND
-    stored-hash2 equality (32 bits) — a >50-bit discriminator, so no
-    explicit coordinate-verify gather is needed (false-match probability
-    per forward pass is ~1e-8 even at 27M queries).
+    stored-hash2 equality (32 bits) — a >50-bit probabilistic
+    discriminator (false-match probability per forward pass is ~1e-8 even
+    at 27M queries). With ``verify_coords=True`` each candidate match is
+    additionally checked against the stored (b, x, y, z) via one extra
+    (Q, 4) gather, making the result exact; parity tests run this mode and
+    ``test_sparse.py`` hunts engineered hash1+hash2 double collisions to
+    bound the probabilistic mode's risk.
     """
     shape = query_coords.shape[:-1]
     q = query_coords.reshape(-1, 4)
@@ -186,6 +195,11 @@ def lookup(table: VoxelTable, query_coords: jax.Array) -> jax.Array:
         match = has & (ch == qh2) & (found < 0)
         found = jnp.where(match, cand, found)
 
+    if verify_coords:
+        stored = table.coords[jnp.clip(found, 0, table.coords.shape[0] - 1)]
+        exact = jnp.all(stored == q, axis=-1)
+        found = jnp.where(exact, found, -1)
+
     # Negative coordinates are never in the table (grid coords are >= 0),
     # and XOR-multiply hashes collide SYSTEMATICALLY under paired sign
     # flips (-a*B ^ -c*C == a*B ^ c*C for odd B, C) — mask them out.
@@ -206,9 +220,12 @@ def kernel_offsets(kernel_size: int = 3) -> jnp.ndarray:
     return jnp.array(offs, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("kernel_size",))
+@partial(jax.jit, static_argnames=("kernel_size", "verify_coords"))
 def build_rulebook(
-    coords: jax.Array, valid: jax.Array, kernel_size: int = 3
+    coords: jax.Array,
+    valid: jax.Array,
+    kernel_size: int = 3,
+    verify_coords: bool = False,
 ) -> jax.Array:
     """(M, K) neighbor indices for a submanifold conv; M marks 'missing'.
 
@@ -231,7 +248,7 @@ def build_rulebook(
     q = jnp.broadcast_to(coords[None, :, :], (half, m, 4)).at[:, :, 1:].add(
         offs[:half, None, :]
     )
-    idx = lookup(table, q)  # (half, M)
+    idx = lookup(table, q, verify_coords=verify_coords)  # (half, M)
     idx = jnp.where(valid[None, :] & (idx >= 0), idx, m)
 
     columns = [None] * k
