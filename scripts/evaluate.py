@@ -47,6 +47,33 @@ def main():
     p.add_argument("--qsm_csv", required=True)
     p.add_argument("--plot_path", default=None)
 
+    p = sub.add_parser(
+        "qsm-comp",
+        help="QSM comparison figures over projected-cloud directories "
+        "(reference qsm_comp_new.py / _testset_proportion.py)",
+    )
+    p.add_argument("--orig_dir", required=True,
+                   help="directory of original projected clouds")
+    p.add_argument("--model_dirs", required=True, nargs="+",
+                   help="one directory of projected clouds per model")
+    p.add_argument("--model_labels", nargs="+", default=None)
+    p.add_argument("--suffix", default="_projected.npy")
+    p.add_argument("--plot_path", required=True)
+    p.add_argument("--per_tree_plot_path", default=None)
+
+    p = sub.add_parser(
+        "slices",
+        help="original/transformed slice grid of a predicted cloud "
+        "(reference slice_plotting.py)",
+    )
+    p.add_argument("--pred_cloud", required=True,
+                   help="cloud with xyz in cols 0:3 and offsets in 3:6")
+    p.add_argument("--plot_path", required=True)
+    p.add_argument("--bounds", default=None,
+                   help="JSON list of [xmin,xmax,ymin,ymax,zmin,zmax]")
+    p.add_argument("--views", default=None,
+                   help="JSON list of view dirs ('z'|'y') per bound")
+
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -144,6 +171,74 @@ def main():
         if args.plot_path:
             plot_qsm_distance_comparison(d_orig, d_pred, args.plot_path)
             print(f"plot written to {args.plot_path}")
+
+    elif args.command == "qsm-comp":
+        from treemorph_tpu.plotting.qsm_comparison import (
+            load_pointwise_distance_pairs,
+            mean_distance_and_error,
+            per_tree_mean_distances,
+            plot_per_tree_mean_distances,
+            plot_qsm_comparison,
+        )
+
+        labels = args.model_labels or [
+            os.path.basename(os.path.normpath(d)) for d in args.model_dirs
+        ]
+        scatter_o, scatter_m = load_pointwise_distance_pairs(
+            args.orig_dir, args.model_dirs[0], args.suffix
+        )
+        means, errs, imps, imp_errs = [], [], [], []
+        for d in args.model_dirs:
+            d_o, d_m = load_pointwise_distance_pairs(
+                args.orig_dir, d, args.suffix
+            )
+            mean, err, _ = mean_distance_and_error(d_m)
+            imp, imp_err, _ = mean_distance_and_error(d_o - d_m)
+            means.append(mean)
+            errs.append(err)
+            imps.append(imp)
+            imp_errs.append(imp_err)
+        plot_qsm_comparison(
+            scatter_o, scatter_m, means, errs, imps, imp_errs, labels,
+            args.plot_path,
+        )
+        print(json.dumps({
+            "models": labels,
+            "mean_dists": means,
+            "improvements": imps,
+        }))
+        print(f"plot written to {args.plot_path}")
+        if args.per_tree_plot_path:
+            m_o, m_n, _ = per_tree_mean_distances(
+                args.orig_dir, args.model_dirs[0], args.suffix
+            )
+            plot_per_tree_mean_distances(
+                m_o, m_n, args.per_tree_plot_path
+            )
+            print(f"plot written to {args.per_tree_plot_path}")
+
+    elif args.command == "slices":
+        from treemorph_tpu.plotting.qsm_comparison import (
+            REFERENCE_SLICE_BOUNDS,
+            REFERENCE_SLICE_VIEWS,
+            plot_transformation_slices,
+        )
+        from treemorph_tpu.utils.io import load_cloud
+
+        cloud = load_cloud(args.pred_cloud, all_columns=True)
+        bounds = (
+            json.loads(args.bounds) if args.bounds
+            else REFERENCE_SLICE_BOUNDS
+        )
+        views = (
+            json.loads(args.views) if args.views
+            else REFERENCE_SLICE_VIEWS
+        )
+        plot_transformation_slices(
+            cloud[:, :3], cloud[:, 3:6], args.plot_path,
+            bounds=bounds, views=views,
+        )
+        print(f"plot written to {args.plot_path}")
 
 
 if __name__ == "__main__":

@@ -132,3 +132,141 @@ class TestNNEvalEndToEnd:
         records = nn_eval({"O_P3": predictor}, ds)
         assert len(records) == 1
         assert len(records[0]["nn_before"]) == len(labeled)
+
+
+class TestQsmComparisonPlots:
+    """The C24 long tail: qsm_comp_new* figures, slice plots, and the
+    piecewise-scaled NND plot (reference Plotting/qsm_comp_new.py,
+    qsm_comp_new_testset_proportion.py, slice_plotting.py,
+    NN_eval.py:297-688)."""
+
+    def _projected_dirs(self, tmp_path, rng):
+        import os
+
+        orig = tmp_path / "orig"
+        model = tmp_path / "model"
+        orig.mkdir()
+        model.mkdir()
+        for tree in ("42_1", "42_2"):
+            n = int(rng.integers(200, 400))
+            pts = rng.normal(size=(n, 3)).astype(np.float32)
+            off_o = rng.normal(scale=0.05, size=(n, 3)).astype(np.float32)
+            off_m = off_o * 0.4  # "model" improves distances
+            for d, off in ((orig, off_o), (model, off_m)):
+                data = np.concatenate(
+                    [pts, off, np.zeros((n, 1), np.float32)], axis=1
+                )
+                np.save(
+                    os.path.join(d, f"{tree}_projected.npy"), data
+                )
+        return str(orig), str(model)
+
+    def test_custom_scale_piecewise(self):
+        from treemorph_tpu.plotting.qsm_comparison import (
+            custom_label, custom_scale,
+        )
+
+        got = custom_scale([0.0, 0.05, 0.1, 0.55, 1.0, 1.05, 2.0, np.inf])
+        np.testing.assert_allclose(
+            got, [0.0, 5.0, 10.0, 15.0, 20.0, 20.5, 21.0, 21.0]
+        )
+        assert custom_label(0.0) == "0"
+        assert custom_label(0.05) == "5"
+        assert custom_label(1.0) == "100"
+        assert custom_label(np.inf) == r"$\infty$"
+
+    def test_pairwise_loading_and_comparison_plot(self, tmp_path, rng):
+        import os
+
+        from treemorph_tpu.plotting.qsm_comparison import (
+            load_pointwise_distance_pairs, mean_distance_and_error,
+            plot_qsm_comparison,
+        )
+
+        orig, model = self._projected_dirs(tmp_path, rng)
+        d_o, d_m = load_pointwise_distance_pairs(orig, model)
+        assert len(d_o) == len(d_m) > 0
+        assert d_m.mean() < d_o.mean()  # improvement visible
+
+        mean, err, std = mean_distance_and_error(d_m)
+        assert 0 < err < std
+        imp, imp_err, _ = mean_distance_and_error(d_o - d_m)
+        out = plot_qsm_comparison(
+            d_o, d_m, [mean], [err], [imp], [imp_err], ["Sp. U-Net"],
+            str(tmp_path / "comp.png"),
+        )
+        assert os.path.getsize(out) > 0
+
+    def test_per_tree_plot(self, tmp_path, rng):
+        import os
+
+        from treemorph_tpu.plotting.qsm_comparison import (
+            per_tree_mean_distances, plot_per_tree_mean_distances,
+        )
+
+        orig, model = self._projected_dirs(tmp_path, rng)
+        m_o, m_n, ids = per_tree_mean_distances(orig, model)
+        assert ids == ["42_1", "42_2"]
+        # one value beyond the 15 cm cap exercises the annotation path
+        m_o[0] = 0.30
+        out = plot_per_tree_mean_distances(
+            m_o, m_n, str(tmp_path / "pertree.png")
+        )
+        assert os.path.getsize(out) > 0
+
+    def test_transformation_slices(self, tmp_path, rng):
+        import os
+
+        from treemorph_tpu.plotting.qsm_comparison import (
+            plot_transformation_slices,
+        )
+
+        pts = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+        offs = rng.normal(scale=0.02, size=(500, 3)).astype(np.float32)
+        bounds = ((-1, 1, -1, 1, -1, 0), (-1, 1, -1, 1, 0, 1))
+        out = plot_transformation_slices(
+            pts, offs, str(tmp_path / "slices.png"),
+            bounds=bounds, views=("z", "y"),
+        )
+        assert os.path.getsize(out) > 0
+
+    def test_scaled_nn_plot_and_subplots(self, tmp_path, rng):
+        import os
+
+        from treemorph_tpu.evaluation.nn_eval import (
+            plot_nn_distances_scaled, plot_nn_distances_subplots,
+        )
+
+        n = 3000
+        orig = rng.uniform(0.001, 1.5, n)
+        pred = orig * rng.uniform(0.3, 0.6, n)
+        plots = list(rng.choice(["3", "4", "6", "8"], n))
+        out = plot_nn_distances_scaled(
+            orig, pred, str(tmp_path / "nnd.png"),
+            tree_plots=plots, color_by_plot=True, show_scatter=True,
+            show_fit=True,
+        )
+        assert os.path.getsize(out) > 0
+        out2 = plot_nn_distances_subplots(
+            orig, pred, plots, str(tmp_path / "nnd_grid.png")
+        )
+        assert os.path.getsize(out2) > 0
+
+
+class TestComputeDensity:
+    def test_matches_kdtree_radius_count(self, rng):
+        import jax.numpy as jnp
+        from scipy.spatial import cKDTree
+
+        from treemorph_tpu.ops import compute_density
+
+        pts = rng.normal(size=(300, 3)).astype(np.float32)
+        valid = np.ones(300, bool)
+        got = np.asarray(
+            compute_density(jnp.asarray(pts), jnp.asarray(valid), 0.35)
+        )
+        tree = cKDTree(pts)
+        want = np.array(
+            [len(tree.query_ball_point(p, 0.35)) for p in pts]
+        )
+        np.testing.assert_array_equal(got, want)

@@ -136,6 +136,189 @@ def binned_mean_transform(
     return centers, means, (a, b)
 
 
+#: reference per-plot scatter colors (NN_eval.py:404)
+PLOT_COLORS = {"3": "red", "4": "green", "6": "blue", "8": "yellow"}
+
+
+def plot_nn_distances_scaled(
+    nnd_orig: np.ndarray,
+    nnd_pred: np.ndarray,
+    output_path: str,
+    title: str = "NND Comparison",
+    tree_plots=None,
+    color_by_plot: bool = False,
+    show_scatter: bool = False,
+    show_fit: bool = False,
+):
+    """The reference's piecewise-scaled NND comparison plot
+    (NN_eval.py:297-688): binned means on the custom 0-10 cm / 10-100 cm /
+    >1 m axis transform, with optional raw scatter (colored per CV plot),
+    a power-law fit over the 1 cm-1 m range, the y=x diagonal, and 10 cm
+    separator guides."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..plotting.qsm_comparison import (
+        COMPARISON_BINS, _binned_mean_std, custom_label, custom_scale,
+    )
+
+    nnd_orig = np.asarray(nnd_orig, float)
+    nnd_pred = np.asarray(nnd_pred, float)
+
+    centers, means, stds = _binned_mean_std(
+        nnd_orig, nnd_pred, COMPARISON_BINS
+    )
+    x_t = custom_scale(centers)
+    y_t = custom_scale(means)
+    # first bin (0-1 cm) and the inf bin plot at their visual midpoints
+    # (NN_eval.py:369-373 / :515-528)
+    x_t[0] = custom_scale([0.005])[0]
+    x_t[-1] = custom_scale([1.05])[0]
+    lo = custom_scale(np.clip(means - stds, 1e-6, None))
+    hi = custom_scale(np.clip(means + stds, 1e-6, None))
+    yerr = [np.maximum(y_t - lo, 0), np.maximum(hi - y_t, 0)]
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    if show_scatter:
+        if tree_plots is not None and color_by_plot:
+            for p in sorted(set(tree_plots)):
+                sel = np.asarray(
+                    [tp == p for tp in tree_plots], bool
+                )
+                ax.scatter(
+                    custom_scale(nnd_orig[sel]),
+                    custom_scale(nnd_pred[sel]),
+                    color=PLOT_COLORS.get(str(p), "gray"),
+                    label=f"Plot {p}", alpha=0.1, s=5,
+                )
+        else:
+            ax.scatter(
+                custom_scale(nnd_orig), custom_scale(nnd_pred),
+                alpha=0.1, s=5, color="gray", label="Data",
+            )
+
+    ok = ~np.isnan(y_t)
+    ax.errorbar(
+        x_t[ok], y_t[ok], yerr=[yerr[0][ok], yerr[1][ok]], fmt="o",
+        color="red", label="Binned Mean",
+    )
+    diag = np.linspace(0.0, 1.1, 100)
+    ax.plot(custom_scale(diag), custom_scale(diag), "k--", label="y = x")
+
+    if show_fit:
+        fit_mask = (
+            (nnd_orig >= 0.01)
+            & (nnd_orig <= 1.0)
+            & np.isfinite(nnd_orig)
+            & np.isfinite(nnd_pred)
+        )
+        try:
+            x_fit, _, a, b, a_err, b_err = fit_power_law(
+                nnd_orig[fit_mask], nnd_pred[fit_mask]
+            )
+            ax.plot(
+                custom_scale(x_fit), custom_scale(a * x_fit**b), "blue",
+                label=(
+                    r"$y = ax^b$"
+                    + f"\n$a = {a:.3f} \\pm {a_err:.3f}$"
+                    + f"\n$b = {b:.3f} \\pm {b_err:.3f}$"
+                ),
+            )
+        except Exception:
+            logger.warning("power-law fit failed; omitting overlay")
+
+    tick_vals = (
+        [0.0, 0.01]
+        + [i / 100 for i in range(2, 10)]
+        + [i / 100 for i in range(10, 100, 10)]
+        + [1.0, 1.1]
+    )
+    pos = custom_scale(np.array(tick_vals))
+    labels = [
+        "0cm" if v < 0.01
+        else ("1m" if v == 1.0 else (">1m" if v > 1.0 else
+                                     custom_label(v) + "cm"))
+        for v in tick_vals
+    ]
+    ax.set_xticks(pos)
+    ax.set_xticklabels(labels, rotation=45)
+    ax.set_yticks(pos)
+    ax.set_yticklabels(labels)
+    sep = custom_scale(np.array([0.1]))[0]
+    ax.axhline(sep, color="gray", linewidth=1.0)
+    ax.axvline(sep, color="gray", linewidth=1.0)
+    ax.grid(True, linestyle="--", linewidth=0.5)
+    ax.set_xlabel("Original NN Distance")
+    ax.set_ylabel("Transformed NN Distance")
+    ax.set_title(title)
+    ax.legend()
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    fig.savefig(output_path, dpi=150)
+    plt.close(fig)
+    return output_path
+
+
+def plot_nn_distances_subplots(
+    nnd_orig: np.ndarray,
+    nnd_pred: np.ndarray,
+    tree_plots,
+    output_path: str,
+):
+    """2x2 per-CV-plot grid of the piecewise-scaled NND comparison
+    (NN_eval.py:691-...): each panel shows one plot's binned means."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..plotting.qsm_comparison import (
+        COMPARISON_BINS, _binned_mean_std, custom_label, custom_scale,
+    )
+
+    nnd_orig = np.asarray(nnd_orig, float)
+    nnd_pred = np.asarray(nnd_pred, float)
+    plots = sorted(set(tree_plots))
+    n = len(plots)
+    rows = cols = int(np.ceil(np.sqrt(max(n, 1))))
+    fig, axes = plt.subplots(
+        rows, cols, figsize=(5 * cols, 5 * rows), squeeze=False
+    )
+    tick_vals = [0.0, 0.05, 0.1, 0.5, 1.0]
+    pos = custom_scale(np.array(tick_vals))
+    labels = [custom_label(v) for v in tick_vals]
+    for i, p in enumerate(plots):
+        ax = axes[i // cols][i % cols]
+        sel = np.asarray([tp == p for tp in tree_plots], bool)
+        centers, means, stds = _binned_mean_std(
+            nnd_orig[sel], nnd_pred[sel], COMPARISON_BINS
+        )
+        x_t, y_t = custom_scale(centers), custom_scale(means)
+        ok = ~np.isnan(y_t)
+        ax.errorbar(
+            x_t[ok], y_t[ok],
+            yerr=np.nan_to_num(custom_scale(stds))[ok], fmt="o",
+            color=PLOT_COLORS.get(str(p), "red"), capsize=3,
+        )
+        diag = np.linspace(0.0, 1.1, 50)
+        ax.plot(custom_scale(diag), custom_scale(diag), "k--")
+        ax.set_xticks(pos)
+        ax.set_xticklabels(labels)
+        ax.set_yticks(pos)
+        ax.set_yticklabels(labels)
+        ax.set_title(f"Plot {p}")
+        ax.grid(True, linestyle="--", linewidth=0.5)
+    for j in range(n, rows * cols):
+        axes[j // cols][j % cols].axis("off")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    fig.savefig(output_path, dpi=150)
+    plt.close(fig)
+    return output_path
+
+
 def plot_nn_distances(records, output_path: str, title: str = "NN eval"):
     """Binned-mean diagnostic plot with power-law fit (matplotlib)."""
     import matplotlib

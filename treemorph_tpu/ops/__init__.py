@@ -11,6 +11,7 @@ from .features import (
     add_features,
     compute_normals,
     compute_curvature,
+    compute_density,
     compute_height,
     compute_verticality,
     compute_distance_to_center,
@@ -33,6 +34,7 @@ __all__ = [
     "add_features",
     "compute_normals",
     "compute_curvature",
+    "compute_density",
     "compute_height",
     "compute_verticality",
     "compute_distance_to_center",

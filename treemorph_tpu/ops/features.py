@@ -147,6 +147,15 @@ def compute_height(points: jax.Array, valid: jax.Array) -> jax.Array:
     return (z - z_min) / jnp.maximum(z_max - z_min, 1e-12)
 
 
+def compute_density(
+    points: jax.Array, valid: jax.Array, radius: float = 0.1
+) -> jax.Array:
+    """Neighbor count within ``radius`` of each point, self included
+    (``Features.py:42-52``; the reference's per-point sklearn
+    radius_neighbors loop, here one tiled device broadcast)."""
+    return radius_count(points, points, valid, radius)
+
+
 def compute_verticality(normals: jax.Array) -> jax.Array:
     """|cos| against +z (``Features.py:54-63``)."""
     return jnp.abs(normals[:, 2])

@@ -5,6 +5,15 @@ from .figures import (
     plot_upsampling_visual,
     qsm_csv_to_ply,
 )
+from .qsm_comparison import (
+    load_pointwise_distance_pairs,
+    mean_distance_and_error,
+    offset_norms_from_file,
+    per_tree_mean_distances,
+    plot_per_tree_mean_distances,
+    plot_qsm_comparison,
+    plot_transformation_slices,
+)
 
 __all__ = [
     "plot_epoch_time_comparison",
@@ -12,4 +21,11 @@ __all__ = [
     "plot_offset_slices",
     "plot_upsampling_visual",
     "qsm_csv_to_ply",
+    "load_pointwise_distance_pairs",
+    "mean_distance_and_error",
+    "offset_norms_from_file",
+    "per_tree_mean_distances",
+    "plot_per_tree_mean_distances",
+    "plot_qsm_comparison",
+    "plot_transformation_slices",
 ]
