@@ -32,3 +32,38 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+# Fast lane: `pytest -m "not slow"` completes in a few minutes cold; the
+# slow set is the e2e CLI runs, the multichip dryrun subprocess, mesh
+# training, and the overfit/pipeline integration tests (all >30 s cold,
+# measured via --durations on this sandbox).
+SLOW_TESTS = {
+    "test_scripts.py",  # CLI e2e (preprocess/train/pipeline subprocesses)
+    "test_noise_path.py",  # trains the noise family end-to-end
+}
+SLOW_NODES = (
+    "test_dryrun_multichip",
+    "test_training_on_mesh_reduces_loss",
+    "test_overfits",
+    "test_reaches_min_points",
+    "test_nn_eval_with_trained_model",
+    "test_labels_match_format",
+    "test_midpoints_near_original_surface",
+    "test_reproducible_with_seed",
+    "test_seeded_fit_golden_properties",
+    "test_forward_shapes_and_masking",
+    "test_use_feats_false_ignores_features",
+    "test_treelearn_brick_engine_forward",
+    "test_voxel_size_controls_resolution",
+    "test_noise_cloud_semantic_pass",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in SLOW_TESTS or any(
+            item.name.startswith(n) or n in item.name for n in SLOW_NODES
+        ):
+            item.add_marker(pytest.mark.slow)
