@@ -73,6 +73,11 @@ def main():
                    help="JSON list of [xmin,xmax,ymin,ymax,zmin,zmax]")
     p.add_argument("--views", default=None,
                    help="JSON list of view dirs ('z'|'y') per bound")
+    p.add_argument("--orig_qsm", default=None,
+                   help="original QSM CSV: render the cylinder-overlay "
+                   "comparison instead (qsm_comp_new_visual.py)")
+    p.add_argument("--enhanced_qsm", default=None,
+                   help="pipeline QSM CSV (with --orig_qsm)")
 
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
@@ -234,10 +239,27 @@ def main():
             json.loads(args.views) if args.views
             else REFERENCE_SLICE_VIEWS
         )
-        plot_transformation_slices(
-            cloud[:, :3], cloud[:, 3:6], args.plot_path,
-            bounds=bounds, views=views,
-        )
+        if args.orig_qsm and args.enhanced_qsm:
+            import pandas as pd
+
+            from treemorph_tpu.plotting.qsm_comparison import (
+                plot_qsm_comparison_slices,
+            )
+
+            dfs = []
+            for path in (args.orig_qsm, args.enhanced_qsm):
+                df = pd.read_csv(path)
+                df.columns = df.columns.str.strip().str.replace('"', "")
+                dfs.append(df)
+            plot_qsm_comparison_slices(
+                cloud[:, :3], dfs[0], dfs[1], args.plot_path,
+                bounds=bounds, views=views,
+            )
+        else:
+            plot_transformation_slices(
+                cloud[:, :3], cloud[:, 3:6], args.plot_path,
+                bounds=bounds, views=views,
+            )
         print(f"plot written to {args.plot_path}")
 
 

@@ -270,3 +270,31 @@ class TestComputeDensity:
             [len(tree.query_ball_point(p, 0.35)) for p in pts]
         )
         np.testing.assert_array_equal(got, want)
+
+
+class TestQsmVisualComparison:
+    def test_cylinder_overlay_slices(self, tmp_path, rng):
+        import os
+
+        import pandas as pd
+
+        from treemorph_tpu.plotting.qsm_comparison import (
+            plot_qsm_comparison_slices,
+        )
+
+        pts = rng.uniform(-1, 1, size=(800, 3)).astype(np.float32)
+        df = pd.DataFrame(
+            {
+                "startX": [0.0, 0.2], "startY": [0.0, -0.3],
+                "startZ": [-0.9, 0.1],
+                "endX": [0.0, 0.4], "endY": [0.0, -0.1],
+                "endZ": [0.0, 0.6], "radius": [0.15, 0.05],
+                "ID": [1, 2],
+            }
+        )
+        out = plot_qsm_comparison_slices(
+            pts, df, df, str(tmp_path / "visual.png"),
+            bounds=((-1, 1, -1, 1, -1, 0), (-1, 1, -1, 1, 0, 1)),
+            views=("z", "y"),
+        )
+        assert os.path.getsize(out) > 0

@@ -12,6 +12,7 @@ from .qsm_comparison import (
     per_tree_mean_distances,
     plot_per_tree_mean_distances,
     plot_qsm_comparison,
+    plot_qsm_comparison_slices,
     plot_transformation_slices,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "per_tree_mean_distances",
     "plot_per_tree_mean_distances",
     "plot_qsm_comparison",
+    "plot_qsm_comparison_slices",
     "plot_transformation_slices",
 ]

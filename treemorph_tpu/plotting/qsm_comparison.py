@@ -14,6 +14,8 @@ Capability parity with the reference scripts:
 - :func:`per_tree_mean_distances` / :func:`plot_per_tree_mean_distances` —
   the per-tree dot-pair comparison capped at 15 cm
   (``qsm_comp_new_testset_proportion.py:26-232``);
+- :func:`plot_qsm_comparison_slices` — cylinders-over-cloud slice overlay,
+  original vs pipeline QSM (``qsm_comp_new_visual.py:7-156``);
 - :func:`plot_transformation_slices` — original/transformed slice grid with
   'z' (XY) and 'y' (45deg-rotated XZ) views
   (``Plotting/slice_plotting.py:120-328``).
@@ -376,6 +378,131 @@ def plot_transformation_slices(
                 ax.spines[side].set_visible(False)
             if i == 0:
                 ax.set_ylabel(label, fontsize=14)
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    fig.savefig(output_path, dpi=150)
+    plt.close(fig)
+    return output_path
+
+
+def _cylinder_columns(df):
+    """Resolve the QSM table's column-name variants to the internal names
+    (same mapping as ops.projection.QSM_COLUMN_MAPPINGS)."""
+    from ..ops.projection import QSM_COLUMN_MAPPINGS
+
+    out = {}
+    for internal, candidates in QSM_COLUMN_MAPPINGS.items():
+        found = next((c for c in candidates if c in df.columns), None)
+        if found is None and internal != "ID":
+            raise KeyError(f"QSM table missing {internal}")
+        out[internal] = found
+    return out
+
+
+def plot_qsm_comparison_slices(
+    cloud: np.ndarray,
+    original_cylinders,
+    enhanced_cylinders,
+    output_path: str,
+    bounds=REFERENCE_SLICE_BOUNDS,
+    views=REFERENCE_SLICE_VIEWS,
+    title=(
+        "Visual Comparison of Original and Pipeline QSMs "
+        "Across Tree Slices"
+    ),
+):
+    """Two-row slice grid overlaying QSM cylinders on the point cloud:
+    original QSM on top, pipeline ('enhanced') QSM below
+    (``Plotting/qsm_comp_new_visual.py:7-156``). Cylinders intersecting a
+    slice render as 2D rectangles along their projected axis — or circles
+    in the first top-down slice — over the slice's point scatter."""
+    plt = _plt()
+    from matplotlib.patches import Polygon
+
+    k = len(bounds)
+    fig, axes = plt.subplots(
+        2, k, figsize=(3 * k, 6), constrained_layout=True, squeeze=False
+    )
+
+    def draw_cylinders(ax, df, bound, view, slice_index):
+        cols = _cylinder_columns(df)
+        xmin, xmax, ymin, ymax, zmin, zmax = bound
+        theta = np.radians(45)
+        rot = np.array(
+            [[np.cos(theta), -np.sin(theta)],
+             [np.sin(theta), np.cos(theta)]]
+        )
+        for _, row in df.iterrows():
+            s = np.array([row[cols["startX"]], row[cols["startY"]],
+                          row[cols["startZ"]]], float)
+            e = np.array([row[cols["endX"]], row[cols["endY"]],
+                          row[cols["endZ"]]], float)
+            inside = any(
+                xmin <= p[0] <= xmax and ymin <= p[1] <= ymax
+                and zmin <= p[2] <= zmax
+                for p in (s, e)
+            )
+            if not inside:
+                continue
+            r = float(row[cols["radius"]])
+            if view == "z" and slice_index == 0:
+                c = (s + e) / 2
+                ax.add_patch(
+                    plt.Circle((c[0], c[1]), r, color="grey", alpha=0.5)
+                )
+                continue
+            if view == "z":
+                p0, p1 = s[:2], e[:2]
+            else:  # 'y'
+                center = np.array(
+                    [(xmin + xmax) / 2, (ymin + ymax) / 2]
+                )
+                p0 = np.array(
+                    [((s[:2] - center) @ rot.T)[0], s[2]]
+                )
+                p1 = np.array(
+                    [((e[:2] - center) @ rot.T)[0], e[2]]
+                )
+            vec = p1 - p0
+            norm = np.linalg.norm(vec)
+            if norm == 0:
+                continue
+            d = vec / norm
+            perp = np.array([-d[1], d[0]])
+            ax.add_patch(
+                Polygon(
+                    [p0 + perp * r, p0 - perp * r, p1 - perp * r,
+                     p1 + perp * r],
+                    edgecolor="black", facecolor="gray", alpha=0.5,
+                )
+            )
+
+    for i, (bound, view) in enumerate(zip(bounds, views)):
+        proj = _project_slice(cloud[:, :3], bound, view)
+        xmin, xmax, ymin, ymax, zmin, zmax = bound
+        for row_i, (df, label) in enumerate(
+            ((original_cylinders, "Original QSM"),
+             (enhanced_cylinders, "Enhanced QSM"))
+        ):
+            ax = axes[row_i][i]
+            if len(proj):
+                ax.scatter(proj[:, 0], proj[:, 1], s=1, c="black")
+            draw_cylinders(ax, df, bound, view, i)
+            if row_i == 0:
+                ax.set_title(f"Slice {i + 1}")
+            for side in ("top", "right", "bottom", "left"):
+                ax.spines[side].set_visible(False)
+            ax.set_xticks([])
+            ax.set_yticks([])
+            if i == 0:
+                ax.set_ylabel(label, fontsize=14)
+            if view == "z":
+                ax.set_xlim(xmin, xmax)
+                ax.set_ylim(ymin, ymax)
+            else:
+                ax.set_xlim(-1.5, 1.5)
+                ax.set_ylim(zmin, zmax)
+
+    fig.suptitle(title, fontsize=16)
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     fig.savefig(output_path, dpi=150)
     plt.close(fig)
