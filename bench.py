@@ -1,6 +1,7 @@
-"""Benchmark: flagship TreeLearn sparse-UNet inference (points/sec/chip).
+"""Benchmark: stage-1 inference points/sec/chip — TreeLearn (headline)
+plus PTv3 (extra keys), both on the same ~1M-point dense-tree workload.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Workload: one forward pass of the pipeline-configured TreeLearn
 (num_blocks=3, voxel 0.02 m, dim_feat=4 — ModelLoaders fixed hyperparams)
@@ -90,15 +91,32 @@ def main():
     out = forward(variables, coords, feats, batch_ids, valid)
     np.asarray(out[0])
 
-    iters = 5
+    # async-pipelined timing: dispatch all iterations, fetch one value at
+    # the end. The executions run back-to-back on device (total time
+    # scales linearly in iters — verified 5 vs 10); a per-iteration
+    # float() sync instead adds ~250 ms of axon host-tunnel round trip
+    # per iter, which is measurement overhead, not device time.
+    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, coords, feats, batch_ids, valid)
-        float(out[0][0, 0])  # per-iteration scalar sync
+    outs = [
+        forward(variables, coords, feats, batch_ids, valid)
+        for _ in range(iters)
+    ]
+    float(outs[-1][0][0, 0])
+    float(outs[0][0][0, 0])
     dt = time.perf_counter() - t0
 
     points_per_sec = b * n * iters / dt
     reference_points_per_sec_est = 1.0e6
+
+    # PTv3 on one 131k-point tree — the workload of the reference's
+    # published PTv3 number (README; serialized-attention cost grows
+    # superlinearly with cloud size via the per-level sorts, and the
+    # pipeline feeds PTv3 per-tree, not the 1M-point batch)
+    ptv3_points_per_sec = _bench_ptv3(
+        coords[:n], feats[:n], batch_ids[:n], valid[:n], 1, n
+    )
+
     print(
         json.dumps(
             {
@@ -108,9 +126,44 @@ def main():
                 "vs_baseline": round(
                     points_per_sec / reference_points_per_sec_est, 3
                 ),
+                "ptv3_points_per_sec": round(ptv3_points_per_sec, 1),
+                "ptv3_vs_baseline": round(
+                    ptv3_points_per_sec / reference_points_per_sec_est, 3
+                ),
             }
         )
     )
+
+
+def _bench_ptv3(coords, feats, batch_ids, valid, b, n):
+    import jax
+
+    from treemorph_tpu.evaluation.model_loaders import build_model
+
+    model = build_model("pointtransformerv3")
+    variables = jax.jit(
+        lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)
+    )(jax.random.key(0), coords, feats, batch_ids, valid)
+
+    @jax.jit
+    def forward(variables, coords, feats, batch_ids, valid):
+        out = model.apply(
+            variables, coords, feats, batch_ids, valid, train=False
+        )
+        return out["offset_predictions"]
+
+    out = forward(variables, coords, feats, batch_ids, valid)
+    np.asarray(out)
+    iters = 5
+    t0 = time.perf_counter()
+    outs = [
+        forward(variables, coords, feats, batch_ids, valid)
+        for _ in range(iters)
+    ]
+    float(outs[-1][0, 0])
+    float(outs[0][0, 0])
+    dt = time.perf_counter() - t0
+    return b * n * iters / dt
 
 
 if __name__ == "__main__":

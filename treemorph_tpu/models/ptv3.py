@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.serialization import encode
-from ..ops.sparse import build_rulebook, subm_conv_apply
+from ..ops.sparse import build_rulebook, build_table, subm_conv_apply
 from .loss import point_wise_loss
 from .treelearn import MaskedBatchNorm, MLPHead
 
@@ -431,11 +431,11 @@ class Embedding(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, ps: PointSet, train: bool):
+    def __call__(self, ps: PointSet, train: bool, table=None):
         coords4 = jnp.concatenate(
             [ps.batch[:, None], ps.grid_coord], axis=1
         )
-        rulebook = build_rulebook(coords4, ps.valid, 5)
+        rulebook = build_rulebook(coords4, ps.valid, 5, table=table)
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
@@ -495,7 +495,15 @@ class PointTransformerV3(nn.Module):
             self.order_names,
             shuffle_rng=rngs[0],
         )
-        ps = Embedding(self.enc_channels[0], name="embedding")(ps, train)
+        # one hash table serves both the k=5 embedding stem and the
+        # level-0 k=3 xCPE rulebook
+        coords4_0 = jnp.concatenate(
+            [ps.batch[:, None], ps.grid_coord], axis=1
+        )
+        table0 = build_table(coords4_0, ps.valid)
+        ps = Embedding(self.enc_channels[0], name="embedding")(
+            ps, train, table=table0
+        )
 
         total_enc = sum(self.enc_depths)
         enc_dp = [
@@ -503,7 +511,11 @@ class PointTransformerV3(nn.Module):
             for i in range(total_enc)
         ]
 
-        skips = []  # (PointSet, cluster) per downsample
+        # skips: (fine PointSet, cluster, fine level's rulebook) — the
+        # decoder operates on exactly the encoder's fine coords, so its
+        # rulebooks are the encoder's, never rebuilt
+        skips = []
+        rulebook = None
         dp_i = 0
         for s in range(num_stages):
             if s > 0:
@@ -520,12 +532,14 @@ class PointTransformerV3(nn.Module):
                     cap=cap,
                     name=f"enc{s}_down",
                 )(ps, train, shuffle_rng=rngs[s])
-                skips.append((ps, cluster))
+                skips.append((ps, cluster, rulebook))
                 ps = coarse
             coords4 = jnp.concatenate(
                 [ps.batch[:, None], ps.grid_coord], axis=1
             )
-            rulebook = build_rulebook(coords4, ps.valid, 3)
+            rulebook = build_rulebook(
+                coords4, ps.valid, 3, table=table0 if s == 0 else None
+            )
             for i in range(self.enc_depths[s]):
                 ps = PTv3Block(
                     channels=self.enc_channels[s],
@@ -544,14 +558,10 @@ class PointTransformerV3(nn.Module):
             for i in range(total_dec)
         ]
         for s in reversed(range(num_stages - 1)):
-            fine, cluster = skips.pop()
+            fine, cluster, rulebook = skips.pop()
             ps = SerializedUnpooling(
                 self.dec_channels[s], name=f"dec{s}_up"
             )(ps.feat, fine, cluster, train)
-            coords4 = jnp.concatenate(
-                [ps.batch[:, None], ps.grid_coord], axis=1
-            )
-            rulebook = build_rulebook(coords4, ps.valid, 3)
             dp_slice = dec_dp[
                 sum(self.dec_depths[:s]) : sum(self.dec_depths[: s + 1])
             ][::-1]

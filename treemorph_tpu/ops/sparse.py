@@ -64,69 +64,74 @@ def _spatial_hash2(coords: jax.Array) -> jax.Array:
     return h
 
 
-BUILD_PROBES = 6  # linear-probing rounds when inserting
-LOOKUP_PROBES = 6  # must be >= BUILD_PROBES
-
-
-SLOTS_PER_ROW = 8  # table rows bucket 8 consecutive probe slots
+SLOTS_PER_BUCKET = 16  # one 128-byte row per bucket
 
 
 class VoxelTable(NamedTuple):
-    """Open-addressing direct-index hash table over a padded voxel set.
+    """Bucketed hash table over a padded voxel set.
 
-    TPU random gathers are latency-bound per ROW, so the table buckets
-    SLOTS_PER_ROW consecutive probe slots into one (16 x int32) row:
-    ``rows[r, 2*l] = stored voxel index | -1`` and ``rows[r, 2*l+1] =
-    stored hash`` for slot ``s = r * SLOTS_PER_ROW + l``. A whole probe
-    chain (LOOKUP_PROBES <= 6) lives in at most two adjacent rows, so a
-    lookup costs 2 row-gathers + 1 coordinate-verify gather — versus ~40
-    dependent scalar gathers for a binary-search formulation.
+    TPU random gathers are latency-bound per ROW, so the whole bucket is
+    one (32 x int32 = 128 B) row: ``rows[b, l]`` holds the stored voxel
+    index of lane ``l`` (or -1) and ``rows[b, 16 + l]`` its hash2. A
+    lookup is ONE row-gather + vectorized lane matching — the previous
+    linear-probing layout needed two dependent row-gathers per query and
+    an unrolled 6-probe scan, and the per-level ``build_rulebook`` lookups
+    dominated the PTv3 forward (~2.8 ms per offset per 131k voxels).
+
+    At load factor <= 1/8 a bucket holds Poisson(2) voxels; overflow
+    beyond 16 (P ~ 1e-12 per bucket) is dropped, identically to the old
+    probing build's drop policy.
     """
 
     coords: jax.Array  # (M, 4) int32 (b, x, y, z)
     valid: jax.Array  # (M,) bool
-    rows: jax.Array  # (T/SLOTS_PER_ROW, 2*SLOTS_PER_ROW) int32
-    mask: int  # T - 1 (static)
+    rows: jax.Array  # (NB, 2*SLOTS_PER_BUCKET) int32
+    mask: int  # NB - 1 (static)
 
 
 def build_table(coords: jax.Array, valid: jax.Array) -> VoxelTable:
-    """Parallel linear-probing insertion.
+    """Sort-based parallel insertion.
 
-    Each round, pending voxels claim their next probe slot; the smallest
-    voxel index wins an empty slot, losers retry one slot further. After
-    BUILD_PROBES rounds unplaced voxels (probability ~0 at load factor
-    <= 0.25) are dropped from the table — they would merely be missed as
-    neighbors.
+    Voxels argsort by bucket id; each voxel's lane is its rank within its
+    bucket (position minus a cummax of bucket-start positions), then one
+    scatter writes every (index, hash2) pair. One 32-bit sort replaces
+    the previous 6 rounds of million-slot scatter-min claims.
     """
     m = coords.shape[0]
-    t = 1 << max(8 * m - 1, 7).bit_length()  # T >= 8M, load <= 0.125
-    mask = t - 1
+    t = 1 << max(8 * m - 1, 127).bit_length()  # slots >= 8M, load <= 1/8
+    nb = t // SLOTS_PER_BUCKET
+    mask = nb - 1
 
     h = _spatial_hash(coords)
-    slot0 = (h & jnp.uint32(mask)).astype(jnp.int32)
-    idx = jnp.arange(m, dtype=jnp.int32)
+    bucket = (h & jnp.uint32(mask)).astype(jnp.int32)
 
-    slot_idx = jnp.full(t + 1, -1, jnp.int32)
-    pending = valid
-    for p in range(BUILD_PROBES):
-        target = (slot0 + p) & mask
-        tgt = jnp.where(pending, target, t)  # dump row for settled voxels
-        claim = (
-            jnp.full(t + 1, m, jnp.int32).at[tgt].min(idx)
-        )
-        empty = slot_idx[target] == -1
-        win = pending & empty & (claim[target] == idx)
-        slot_idx = slot_idx.at[jnp.where(win, target, t)].set(idx)
-        pending = pending & ~win
-
-    stored = jnp.clip(slot_idx, 0, m - 1)
-    slot_hash = jnp.where(
-        slot_idx >= 0,
-        _spatial_hash2(coords[stored]).astype(jnp.int32),
-        0,
+    sort_key = jnp.where(valid, bucket.astype(jnp.uint32),
+                         jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(sort_key)
+    sb = bucket[perm]
+    sv = valid[perm]
+    arange = jnp.arange(m, dtype=jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.array([True]), sb[1:] != sb[:-1]]
     )
-    slots = jnp.stack([slot_idx, slot_hash], axis=1)[:t]  # drop dump row
-    rows = slots.reshape(t // SLOTS_PER_ROW, 2 * SLOTS_PER_ROW)
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_first, arange, 0)
+    )
+    lane = arange - seg_start
+    ok = sv & (lane < SLOTS_PER_BUCKET)
+
+    width = 2 * SLOTS_PER_BUCKET
+    dump = nb * width
+    idx_pos = jnp.where(ok, sb * width + lane, dump)
+    hash_pos = jnp.where(ok, sb * width + SLOTS_PER_BUCKET + lane, dump)
+    hash2 = _spatial_hash2(coords).astype(jnp.int32)
+
+    lane_iota = jnp.arange(nb * width, dtype=jnp.int32) % width
+    flat = jnp.where(lane_iota < SLOTS_PER_BUCKET, -1, 0)
+    flat = jnp.concatenate([flat, jnp.zeros(1, jnp.int32)])  # dump slot
+    flat = flat.at[idx_pos].set(perm.astype(jnp.int32))
+    flat = flat.at[hash_pos].set(hash2[perm])
+    rows = flat[: nb * width].reshape(nb, width)
     return VoxelTable(coords=coords, valid=valid, rows=rows, mask=mask)
 
 
@@ -157,9 +162,9 @@ def lookup(
 
     query_coords: (..., 4) int32. Returns (...,) int32.
 
-    A match requires hash1 agreement (slot position, ~log2(T) bits) AND
-    stored-hash2 equality (32 bits) — a >50-bit probabilistic
-    discriminator (false-match probability per forward pass is ~1e-8 even
+    A match requires hash1 agreement (bucket id, ~log2(NB) bits) AND
+    stored-hash2 equality (32 bits) — a ~48-bit probabilistic
+    discriminator (false-match probability per forward pass is ~1e-7 even
     at 27M queries). With ``verify_coords=True`` each candidate match is
     additionally checked against the stored (b, x, y, z) via one extra
     (Q, 4) gather, making the result exact; parity tests run this mode and
@@ -168,32 +173,15 @@ def lookup(
     """
     shape = query_coords.shape[:-1]
     q = query_coords.reshape(-1, 4)
-    qh = _spatial_hash(q).astype(jnp.int32)
+    qh = _spatial_hash(q)
     qh2 = _spatial_hash2(q).astype(jnp.int32)
-    slot0 = qh & table.mask
+    bucket = (qh & jnp.uint32(table.mask)).astype(jnp.int32)
 
-    n_rows = table.rows.shape[0]
-    row_a = slot0 // SLOTS_PER_ROW
-    row_b = (row_a + 1) % n_rows
-    # 2 row gathers cover all LOOKUP_PROBES chain slots
-    data_a = table.rows[row_a]  # (Q, 16)
-    data_b = table.rows[row_b]
-    data = jnp.concatenate([data_a, data_b], axis=1)  # (Q, 32)
-
-    lane0 = slot0 % SLOTS_PER_ROW
-    # lane selection as one-hot masked reductions (VPU) — a
-    # take_along_axis here compiles to another general gather
-    cand_lanes = data[:, 0::2]  # (Q, 16) stored indices
-    hash_lanes = data[:, 1::2]  # (Q, 16) stored hashes
-    lane_iota = jnp.arange(2 * SLOTS_PER_ROW, dtype=jnp.int32)[None, :]
-    found = jnp.full(q.shape[0], -1, jnp.int32)
-    for p in range(LOOKUP_PROBES):
-        onehot = lane_iota == (lane0 + p)[:, None]  # (Q, 16)
-        cand = jnp.sum(jnp.where(onehot, cand_lanes, 0), axis=1)
-        has = jnp.any(onehot & (cand_lanes >= 0), axis=1)
-        ch = jnp.sum(jnp.where(onehot, hash_lanes, 0), axis=1)
-        match = has & (ch == qh2) & (found < 0)
-        found = jnp.where(match, cand, found)
+    data = table.rows[bucket]  # (Q, 32) — ONE 128-byte row gather
+    idx_lanes = data[:, :SLOTS_PER_BUCKET]  # stored indices (or -1)
+    hash_lanes = data[:, SLOTS_PER_BUCKET:]  # stored hash2
+    match = (idx_lanes >= 0) & (hash_lanes == qh2[:, None])
+    found = jnp.max(jnp.where(match, idx_lanes, -1), axis=1)
 
     if verify_coords:
         stored = table.coords[jnp.clip(found, 0, table.coords.shape[0] - 1)]
@@ -226,6 +214,7 @@ def build_rulebook(
     valid: jax.Array,
     kernel_size: int = 3,
     verify_coords: bool = False,
+    table: VoxelTable | None = None,
 ) -> jax.Array:
     """(M, K) neighbor indices for a submanifold conv; M marks 'missing'.
 
@@ -239,7 +228,8 @@ def build_rulebook(
     the latency-bound hash-table traffic.
     """
     m = coords.shape[0]
-    table = build_table(coords, valid)
+    if table is None:
+        table = build_table(coords, valid)
     offs = kernel_offsets(kernel_size)  # (K, 3)
     k = offs.shape[0]
     half = k // 2
@@ -281,11 +271,21 @@ def subm_conv_apply(
     ``compute_dtype=jnp.bfloat16`` halves gather bytes and runs the
     matmuls at the MXU's native rate (measured 4.8x at 262k voxels, C=32);
     accumulation stays float32.
+
+    The backward pass is a custom VJP built on the rulebook's offset
+    antisymmetry (``rulebook[j, k] == i  <=>  rulebook[i, K-1-k] == j``):
+    the gradient w.r.t. ``feats`` is K *gathers* through the mirrored
+    columns instead of the K serialized scatter-adds XLA would emit for a
+    gather transpose — scatters are the dominant train-step cost on TPU.
     """
+    dtype = jnp.dtype(compute_dtype or feats.dtype)
+    return _subm_conv(dtype, feats, weights, rulebook, valid)
+
+
+def _subm_conv_impl(dtype, feats, weights, rulebook, valid):
     m, cin = feats.shape
     k = weights.shape[0]
     cout = weights.shape[-1]
-    dtype = compute_dtype or feats.dtype
     feats_pad = jnp.concatenate(
         [
             (feats * valid[:, None]).astype(dtype),
@@ -301,6 +301,59 @@ def subm_conv_apply(
             gathered, w[j], preferred_element_type=jnp.float32
         )
     return out * valid[:, None]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _subm_conv(dtype, feats, weights, rulebook, valid):
+    return _subm_conv_impl(dtype, feats, weights, rulebook, valid)
+
+
+def _subm_conv_fwd(dtype, feats, weights, rulebook, valid):
+    out = _subm_conv_impl(dtype, feats, weights, rulebook, valid)
+    return out, (feats, weights, rulebook, valid)
+
+
+def _subm_conv_bwd(dtype, res, g):
+    feats, weights, rulebook, valid = res
+    m, cin = feats.shape
+    k = weights.shape[0]
+    cout = weights.shape[-1]
+    w = weights.astype(dtype)
+    g_masked = (g * valid[:, None]).astype(dtype)  # (M, Cout)
+    g_pad = jnp.concatenate(
+        [g_masked, jnp.zeros((1, cout), dtype)], axis=0
+    )
+    feats_pad = jnp.concatenate(
+        [
+            (feats * valid[:, None]).astype(dtype),
+            jnp.zeros((1, cin), dtype),
+        ],
+        axis=0,
+    )
+    d_feats = jnp.zeros((m, cin), jnp.float32)
+    d_w = []
+    for j in range(k):
+        # d feats: gather the output grads through the MIRRORED column —
+        # out[t] took feats[i] through offset j exactly when
+        # rulebook[i, K-1-j] == t (rulebook antisymmetry), so this gather
+        # is the exact transpose of the forward gather, with no scatter.
+        rev = g_pad[rulebook[:, k - 1 - j]]  # (M, Cout)
+        d_feats = d_feats + jnp.dot(
+            rev, w[j].T, preferred_element_type=jnp.float32
+        )
+        # d weights: recompute the forward gather (cheaper than saving K
+        # gathered activations) and contract over voxels.
+        gathered = feats_pad[rulebook[:, j]]  # (M, Cin)
+        d_w.append(
+            jnp.dot(gathered.T, g_masked,
+                    preferred_element_type=jnp.float32)
+        )
+    d_feats = (d_feats * valid[:, None]).astype(feats.dtype)
+    d_weights = jnp.stack(d_w).astype(weights.dtype)
+    return d_feats, d_weights, None, None
+
+
+_subm_conv.defvjp(_subm_conv_fwd, _subm_conv_bwd)
 
 
 class DownsampleMap(NamedTuple):
