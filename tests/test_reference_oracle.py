@@ -241,3 +241,105 @@ class TestPointNet2Oracle:
             )
         )
         np.testing.assert_array_equal(got, want)
+
+
+QSM_PARAMS_REF = {
+    "eps_deg": 20, "min_samples": 5, "sphere_factor": 2.0,
+    "radius_min": 0.15, "radius_max": 0.4, "min_growth_points": 10,
+    "min_points_threshold": 4, "max_spread_growth": 1.05,
+    "min_spread_growth": 0.33, "smallest_search_radius": 0.1,
+    "search_radius_step": 0.1, "max_search_radius": 0.3, "max_dist": 0.4,
+    "max_angle": 30, "distance_type": "center", "sphere_radius": 0.15,
+    "sphere_thickness": 0.1, "sphere_thickness_type": "absolute",
+    "clustering_algorithm": "agglomerative", "merging_procedure": "none",
+    "clustering_linkage": "single", "clustering_type": "angular",
+    "eps_cylinder": 0.1, "segmentation_type": "cylinder",
+    "only_correct_connections": True, "priority_alpha": 0.5,
+    "ransac_iterations": 10, "ransac_subset_percentage": 0.8,
+}
+
+
+class TestQSMOracle:
+    """Cross-check our QSM engine against the reference's
+    fitQSM_DepthFirst run directly (Pipeline/QSMFittingDepthFirst.py,
+    open3d/progress deps stubbed, torch-cpu projection). The two
+    implementations draw different random seed points, so agreement is
+    statistical: cylinder counts, radius distribution, and spatial
+    coverage on the same synthetic tree."""
+
+    @pytest.mark.slow
+    def test_statistical_agreement_on_synthetic_tree(self, tmp_path):
+        import random
+
+        if "open3d" not in sys.modules:
+            o3d = types.ModuleType("open3d")
+            o3d.geometry = types.SimpleNamespace()
+            o3d.io = types.SimpleNamespace()
+            o3d.utility = types.SimpleNamespace()
+            sys.modules["open3d"] = o3d
+        if "fastprogress" not in sys.modules:
+            fp = types.ModuleType("fastprogress")
+            fp.progress_bar = lambda it, parent=None: it
+            fp.master_bar = lambda it: it
+            sys.modules["fastprogress"] = fp
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        import pandas as pd
+        from Modules.Pipeline.QSMFittingDepthFirst import (  # noqa: PLC0415
+            fitQSM_DepthFirst,
+        )
+
+        from treemorph_tpu.fixtures import (
+            synthetic_qsm, synthetic_tree_cloud,
+        )
+        from treemorph_tpu.pipeline.qsm import QSMParams, fit_qsm
+
+        rng = np.random.default_rng(11)
+        qsm = synthetic_qsm(n_branches=3, rng=rng)
+        points, _ = synthetic_tree_cloud(
+            qsm=qsm, points_per_m2=700, noise_scale=0.004,
+            outlier_fraction=0.0, rng=rng,
+        )
+
+        cfg = {
+            "general": {
+                "save_qsm_cyl_csv": True, "save_qsm_cyl_ply": False,
+                "save_qsm_sphere_ply": False,
+            },
+            "stage3": {
+                "qsm_verbose": False, "qsm_debug": False,
+                "qsm_params": dict(QSM_PARAMS_REF),
+            },
+        }
+        random.seed(0)
+        np.random.seed(0)
+        fitQSM_DepthFirst(
+            points.astype(np.float64), "synthetic_11.npy",
+            str(tmp_path), cfg, device=torch.device("cpu"),
+        )
+        ref = pd.read_csv(
+            tmp_path / "synthetic_11_qsm_depth_cylinders.csv"
+        )
+
+        ours, _, _, _ = fit_qsm(points, params=QSMParams(seed=0))
+
+        # cylinder counts: same scale of reconstruction
+        assert 0.5 <= len(ours) / len(ref) <= 2.0, (len(ours), len(ref))
+        # radius distribution: mean and median within 20%
+        for stat in (np.mean, np.median):
+            r_ref = float(stat(ref["radius"]))
+            r_our = float(stat(ours["radius"]))
+            assert abs(r_our - r_ref) / r_ref < 0.20, (stat, r_our, r_ref)
+        # both skeletons span the tree's vertical extent
+        height = points[:, 2].max() - points[:, 2].min()
+        for df in (ref, ours):
+            span = df["endZ"].max() - df["startZ"].min()
+            assert span > 0.7 * height
+        # the stem is at x=y=0: low cylinders of BOTH fits hug the z axis
+        for df in (ref, ours):
+            low = df[df["startZ"] < 2.0]
+            xy = np.hypot(
+                (low["startX"] + low["endX"]) / 2,
+                (low["startY"] + low["endY"]) / 2,
+            )
+            assert float(xy.median()) < 0.25
