@@ -116,3 +116,42 @@ class TestBrickConv:
         off = np.asarray(out["offset_predictions"])
         assert np.isfinite(off).all()
         np.testing.assert_array_equal(off[900:], 0.0)
+
+
+class TestBrickConvGradient:
+    def test_custom_vjp_matches_xla_conv_grad(self, rng):
+        """The Pallas kernel's VJP must equal autodiff through the
+        equivalent XLA dense conv on the same halo'd bricks."""
+        import jax
+
+        from treemorph_tpu.ops.brick_conv import brick_conv
+
+        b, cin, cout = 5, 8, 16
+        padded = jnp.asarray(
+            rng.normal(size=(b, 6, 6, 6, cin)).astype(np.float32)
+        )
+        weights = jnp.asarray(
+            rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.2
+        )
+        cot = jnp.asarray(
+            rng.normal(size=(b, 4, 4, 4, cout)).astype(np.float32)
+        )
+
+        def loss_pallas(p, w):
+            return jnp.vdot(brick_conv(p, w), cot)
+
+        def loss_xla(p, w):
+            out = jax.lax.conv_general_dilated(
+                p, w.reshape(3, 3, 3, cin, cout),
+                window_strides=(1, 1, 1), padding="VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.vdot(out, cot)
+
+        gp_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(padded, weights)
+        gp_x, gw_x = jax.grad(loss_xla, argnums=(0, 1))(padded, weights)
+        np.testing.assert_allclose(np.asarray(gp_p), np.asarray(gp_x),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x),
+                                   rtol=1e-4, atol=1e-4)

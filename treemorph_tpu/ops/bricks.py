@@ -191,6 +191,12 @@ def brick_subm_conv(
     cout = weights.shape[-1]
     padded = _halo_pad(dense, bs)  # (Bcap, 6,6,6, Cin)
 
+    # NOTE: a Pallas roll-shifted-matmul formulation of this conv exists
+    # (ops/brick_conv.py, exact-match + gradient tested) but Mosaic
+    # lowers circular rolls across the 216-cell axis pathologically in
+    # every layout tried (sublane rolls, lane rolls, per-brick loops):
+    # measured 2.9 s per 37k-brick conv vs ~13 ms for the XLA conv here.
+    # See ROADMAP #1 for the measurements.
     kernel = weights.reshape(3, 3, 3, cin, cout)
     out = jax.lax.conv_general_dilated(
         padded,
