@@ -210,3 +210,163 @@ class TestPTv3:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.85, losses
+
+
+class TestPadPerElement:
+    """The reference window-partitioning mode (blocks.py:400-455):
+    windows never straddle batch elements; tail windows replicate the
+    previous window's points."""
+
+    def test_layout_matches_reference_formula(self):
+        import numpy as np
+
+        from treemorph_tpu.models.ptv3 import element_pad_layout
+
+        patch = 8
+        counts = [19, 8, 3, 0, 25]  # >K partial, ==K, <K, empty, >K
+        batch = np.concatenate(
+            [np.full(c, b, np.int32) for b, c in enumerate(counts)]
+        )
+        p = 64  # static padded size, multiple of patch
+        valid = np.zeros(p, bool)
+        valid[: len(batch)] = True
+        batch_full = np.full(p, 0x7FFF, np.int32)
+        batch_full[: len(batch)] = batch
+
+        pad_src, slot_seg, unpad = map(
+            np.asarray,
+            element_pad_layout(
+                jnp.asarray(batch_full), jnp.asarray(valid), 5, patch
+            ),
+        )
+
+        # reference formula, transcribed (blocks.py:411-447)
+        n = np.array(counts)
+        m = -(-n // patch) * patch
+        start_src = np.concatenate([[0], np.cumsum(n)[:-1]])
+        start_pad = np.concatenate([[0], np.cumsum(m)[:-1]])
+        for b, (nb, mb) in enumerate(zip(n, m)):
+            for r in range(mb):
+                j = start_pad[b] + r
+                assert slot_seg[j] in (b, -1)
+                if r < nb:
+                    assert slot_seg[j] == b
+                    assert pad_src[j] == start_src[b] + r
+                elif nb > patch:
+                    # replicated from the previous window
+                    assert slot_seg[j] == b
+                    assert pad_src[j] == start_src[b] + r - patch
+                else:
+                    assert slot_seg[j] == -1  # masked (short element)
+        # slots beyond all allotments are dead
+        assert (slot_seg[int(start_pad[-1] + m[-1]):] == -1).all()
+        # unpad round-trips every real sorted position
+        for b, nb in enumerate(n):
+            for r in range(nb):
+                assert unpad[start_src[b] + r] == start_pad[b] + r
+
+    def test_windows_never_straddle_elements(self, rng):
+        import numpy as np
+
+        from treemorph_tpu.models.ptv3 import element_pad_layout
+
+        patch = 16
+        counts = rng.integers(1, 60, 6)
+        batch = np.concatenate(
+            [np.full(c, b, np.int32) for b, c in enumerate(counts)]
+        )
+        p = -(-len(batch) // patch) * patch
+        valid = np.zeros(p, bool)
+        valid[: len(batch)] = True
+        batch_full = np.full(p, 0x7FFF, np.int32)
+        batch_full[: len(batch)] = batch
+        _, slot_seg, _ = map(
+            np.asarray,
+            element_pad_layout(
+                jnp.asarray(batch_full), jnp.asarray(valid), 6, patch
+            ),
+        )
+        for w in slot_seg.reshape(-1, patch):
+            live = w[w >= 0]
+            assert len(np.unique(live)) <= 1
+
+    def test_matches_default_when_elements_are_aligned(self, rng):
+        # every element's count a multiple of the patch -> both window
+        # partitionings are identical, outputs must match exactly
+        import numpy as np
+
+        from treemorph_tpu.models.ptv3 import PointTransformerWithHeads
+
+        patch = 16
+        counts = (32, 16, 48)
+        pts, feats, bids = [], [], []
+        for b, c in enumerate(counts):
+            pts.append(rng.normal(size=(c, 3)).astype(np.float32) * 2)
+            feats.append(rng.normal(size=(c, 4)).astype(np.float32))
+            bids.append(np.full(c, b, np.int32))
+        coords = jnp.asarray(np.concatenate(pts))
+        fts = jnp.asarray(np.concatenate(feats))
+        bid = jnp.asarray(np.concatenate(bids))
+        valid = jnp.ones(sum(counts), bool)
+
+        cfg = dict(
+            dim_feat=4, use_feats=True, voxel_size=0.3,
+            enc_depths=(1, 1), enc_channels=(8, 16),
+            enc_num_head=(1, 2), enc_patch_size=(patch, patch),
+            dec_depths=(1,), dec_channels=(8,), dec_num_head=(1,),
+            dec_patch_size=(patch,), drop_path=0.0,
+        )
+        outs = []
+        for pad_mode in (False, True):
+            model = PointTransformerWithHeads(
+                pad_per_element=pad_mode, num_elements=3, **cfg
+            )
+            var = model.init(
+                jax.random.key(0), coords, fts, bid, valid, train=False
+            )
+            out = model.apply(
+                var, coords, fts, bid, valid, train=False
+            )
+            outs.append(np.asarray(out["offset_predictions"]))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+
+    def test_unaligned_elements_run_and_differ(self, rng):
+        import numpy as np
+
+        from treemorph_tpu.models.ptv3 import PointTransformerWithHeads
+
+        patch = 16
+        counts = (23, 9, 40)
+        pts = rng.normal(size=(sum(counts), 3)).astype(np.float32) * 2
+        fts = rng.normal(size=(sum(counts), 4)).astype(np.float32)
+        bid = np.concatenate(
+            [np.full(c, b, np.int32) for b, c in enumerate(counts)]
+        )
+        p = -(-sum(counts) // patch) * patch
+        coords = jnp.asarray(
+            np.concatenate([pts, np.zeros((p - len(pts), 3), np.float32)])
+        )
+        fts = jnp.asarray(
+            np.concatenate([fts, np.zeros((p - len(bid), 4), np.float32)])
+        )
+        bid = jnp.asarray(
+            np.concatenate([bid, np.zeros(p - len(bid), np.int32)])
+        )
+        valid = jnp.asarray(np.arange(p) < sum(counts))
+
+        cfg = dict(
+            dim_feat=4, use_feats=True, voxel_size=0.3,
+            enc_depths=(1, 1), enc_channels=(8, 16),
+            enc_num_head=(1, 2), enc_patch_size=(patch, patch),
+            dec_depths=(1,), dec_channels=(8,), dec_num_head=(1,),
+            dec_patch_size=(patch,), drop_path=0.0,
+        )
+        model = PointTransformerWithHeads(
+            pad_per_element=True, num_elements=3, **cfg
+        )
+        var = model.init(
+            jax.random.key(0), coords, fts, bid, valid, train=False
+        )
+        out = model.apply(var, coords, fts, bid, valid, train=False)
+        off = np.asarray(out["offset_predictions"])
+        assert np.isfinite(off[np.asarray(valid)]).all()

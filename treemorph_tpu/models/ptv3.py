@@ -13,10 +13,11 @@ TPU redesign:
 - the flash-attn varlen machinery (``blocks.py:399-507``) collapses to
   static-shape masked window attention: points sorted along a curve are
   reshaped to (P/K, K) windows and attend within the window under a
-  validity + same-batch mask. Window boundaries may split a batch element
-  (the reference instead replicates points to pad each element to a
-  multiple of K); the locality semantics are identical and no dynamic
-  shapes are needed.
+  validity + same-batch mask. By default window boundaries may split a
+  batch element (the reference instead replicates points to pad each
+  element to a multiple of K); ``pad_per_element=True`` reproduces the
+  reference partitioning exactly (see :func:`element_pad_layout`) for
+  per-layer numeric comparison against reference activations.
 - serialization codes are the uint32-pair keys from
   :mod:`treemorph_tpu.ops.serialization`; depth is static (16) rather than
   the reference's data-adaptive depth — orderings remain valid curves.
@@ -143,15 +144,95 @@ class DropPath(nn.Module):
         return x * mask / keep
 
 
+def element_pad_layout(
+    batch: jax.Array,
+    valid: jax.Array,
+    num_elements: int,
+    patch: int,
+):
+    """Per-element K-aligned padding layout (the reference's
+    ``get_padding_and_inverse``, blocks.py:400-455), order-independent.
+
+    In the serialized order each element's valid points are contiguous
+    (invalid points sort last). Element b with n_b points is allotted
+    ``ceil(n_b / K) * K`` padded slots; its tail window's pad slots
+    replicate the previous window's points at matching positions
+    (reference blocks.py:429-438), so they attend as real duplicate keys.
+    Deviation for n_b <= K: the reference leaves a short varlen sequence
+    (flash cu_seqlens); our static windows keep K slots with the excess
+    masked invalid — attention numerics are identical (the element still
+    attends only within itself), only the layout differs.
+
+    Returns ``(pad_src, slot_seg, unpad)``:
+    - pad_src (P + B*K,): sorted-position feeding each padded slot
+      (clipped; dead slots are identified by slot_seg == -1),
+    - slot_seg (P + B*K,): element id per slot, -1 for dead slots,
+    - unpad (P,): padded slot of each sorted position (valid positions).
+    """
+    p = batch.shape[0]
+    seg_ids = jnp.where(valid, batch, num_elements)
+    n = jax.ops.segment_sum(
+        valid.astype(jnp.int32), seg_ids, num_segments=num_elements + 1
+    )[:num_elements]
+    m = -(-n // patch) * patch  # K-aligned allotment, 0 for empty
+    start_src = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n)[:-1].astype(jnp.int32)]
+    )
+    start_pad = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(m)[:-1].astype(jnp.int32)]
+    )
+
+    p_pad = p + num_elements * patch
+    j = jnp.arange(p_pad, dtype=jnp.int32)
+    # element owning each padded slot ((P_pad, B) broadcast; B is small)
+    within = (j[:, None] >= start_pad[None, :]) & (
+        j[:, None] < (start_pad + m)[None, :]
+    )
+    owned = jnp.any(within, axis=1)
+    ele = jnp.argmax(within, axis=1).astype(jnp.int32)
+    r = j - start_pad[ele]
+    n_e = n[ele]
+    real = r < n_e
+    # tail pad slots replicate the PREVIOUS window (only when n_e > K;
+    # n_e <= K tails stay dead/masked)
+    replicated = owned & ~real & (n_e > patch)
+    src = jnp.where(
+        real, start_src[ele] + r,
+        jnp.where(replicated, start_src[ele] + r - patch, 0),
+    )
+    alive = owned & (real | replicated)
+    pad_src = jnp.clip(src, 0, p - 1)
+    slot_seg = jnp.where(alive, ele, -1)
+
+    pos = jnp.arange(p, dtype=jnp.int32)
+    # element of each sorted VALID position: positions are contiguous per
+    # element, so it is the count of element-end boundaries <= pos
+    pe = jnp.sum(
+        pos[:, None] >= (start_src + n)[None, :], axis=1
+    ).astype(jnp.int32)
+    pe = jnp.clip(pe, 0, num_elements - 1)
+    unpad = jnp.clip(pos - start_src[pe] + start_pad[pe], 0, p_pad - 1)
+    return pad_src, slot_seg, unpad
+
+
 class SerializedAttention(nn.Module):
     """Masked window attention over one serialized order
-    (reference blocks.py:336-507)."""
+    (reference blocks.py:336-507).
+
+    ``pad_per_element`` (with ``num_elements``) reproduces the
+    reference's per-element window partitioning exactly (windows never
+    straddle batch elements; tail windows are filled with replicated
+    points): required for per-layer numeric comparison against reference
+    activations. The default packs windows across element boundaries
+    under a same-element mask — cheaper, different partitioning."""
 
     channels: int
     num_heads: int
     patch_size: int
     order_index: int
     qkv_bias: bool = True
+    pad_per_element: bool = False
+    num_elements: int | None = None
 
     @nn.compact
     def __call__(self, ps: PointSet, train: bool):
@@ -166,16 +247,28 @@ class SerializedAttention(nn.Module):
         inverse = ps.inverses[self.order_index]
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(ps.feat)
-        qkv = qkv[order].reshape(p // k, k, 3, h, d)
-        q, kk, v = jnp.moveaxis(qkv, 2, 0).astype(jnp.float32)
+        qkv_sorted = qkv[order]
 
+        if self.pad_per_element:
+            assert self.num_elements is not None
+            pad_src, slot_seg, unpad = element_pad_layout(
+                ps.batch[order], ps.valid[order], self.num_elements, k
+            )
+            p_eff = pad_src.shape[0]
+            qkv_eff = qkv_sorted[pad_src]
+            seg = slot_seg.reshape(p_eff // k, k)
+        else:
+            p_eff = p
+            qkv_eff = qkv_sorted
+            b_sorted = ps.batch[order].reshape(p // k, k)
+            v_sorted = ps.valid[order].reshape(p // k, k)
+            seg = jnp.where(v_sorted, b_sorted, -1).astype(jnp.int32)
+
+        qkv_w = qkv_eff.reshape(p_eff // k, k, 3, h, d)
+        q, kk, v = jnp.moveaxis(qkv_w, 2, 0).astype(jnp.float32)
         q = jnp.moveaxis(q, 2, 1)  # (W, H, K, D)
         kk = jnp.moveaxis(kk, 2, 1)
         v = jnp.moveaxis(v, 2, 1)
-
-        b_sorted = ps.batch[order].reshape(p // k, k)
-        v_sorted = ps.valid[order].reshape(p // k, k)
-        seg = jnp.where(v_sorted, b_sorted, -1).astype(jnp.int32)
 
         # Pallas flash-window kernel on TPU (scores stay in VMEM); the
         # einsum reference path elsewhere (CPU tests) — identical math.
@@ -188,7 +281,10 @@ class SerializedAttention(nn.Module):
 
             out = window_attention_reference(q, kk, v, seg)
 
-        out = jnp.moveaxis(out, 1, 2).reshape(p, c)[inverse]
+        out = jnp.moveaxis(out, 1, 2).reshape(p_eff, c)
+        if self.pad_per_element:
+            out = out[unpad]
+        out = out[inverse]
         out = nn.Dense(c, name="proj")(out)
         return out
 
@@ -234,6 +330,8 @@ class PTv3Block(nn.Module):
     order_index: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    pad_per_element: bool = False
+    num_elements: int | None = None
 
     @nn.compact
     def __call__(self, ps: PointSet, rulebook, train: bool):
@@ -249,6 +347,8 @@ class PTv3Block(nn.Module):
             self.num_heads,
             self.patch_size,
             self.order_index,
+            pad_per_element=self.pad_per_element,
+            num_elements=self.num_elements,
             name="attn",
         )(ps._replace(feat=x), train)
         x = DropPath(self.drop_path)(x, train)
@@ -465,6 +565,8 @@ class PointTransformerV3(nn.Module):
     grid_size: float = 0.02
     depth: int = 16
     shuffle_orders: bool = True
+    pad_per_element: bool = False  # reference window partitioning
+    num_elements: int | None = None  # static batch-element count
 
     @nn.compact
     def __call__(
@@ -548,6 +650,8 @@ class PointTransformerV3(nn.Module):
                     order_index=i % n_orders,
                     mlp_ratio=self.mlp_ratio,
                     drop_path=enc_dp[dp_i],
+                    pad_per_element=self.pad_per_element,
+                    num_elements=self.num_elements,
                     name=f"enc{s}_block{i}",
                 )(ps, rulebook, train)
                 dp_i += 1
@@ -573,6 +677,8 @@ class PointTransformerV3(nn.Module):
                     order_index=i % n_orders,
                     mlp_ratio=self.mlp_ratio,
                     drop_path=dp_slice[i],
+                    pad_per_element=self.pad_per_element,
+                    num_elements=self.num_elements,
                     name=f"dec{s}_block{i}",
                 )(ps, rulebook, train)
         return ps
@@ -593,6 +699,8 @@ class PointTransformerWithHeads(nn.Module):
     dec_num_head: Sequence[int] = (4, 4, 8, 16)
     dec_patch_size: Sequence[int] = (1024, 1024, 1024, 1024)
     drop_path: float = 0.3
+    pad_per_element: bool = False  # reference window partitioning
+    num_elements: int | None = None
 
     @nn.compact
     def __call__(
@@ -618,6 +726,8 @@ class PointTransformerWithHeads(nn.Module):
             dec_patch_size=self.dec_patch_size,
             drop_path=self.drop_path,
             grid_size=self.voxel_size,
+            pad_per_element=self.pad_per_element,
+            num_elements=self.num_elements,
             name="backbone",
         )(coords, feats, batch_ids, valid, train, shuffle_rng)
 
