@@ -48,6 +48,19 @@ def main():
     p.add_argument("--outputDir", required=True)
     p.add_argument("--n_per_plot", type=int, default=10)
 
+    p = sub.add_parser(
+        "select-subset",
+        help="copy a random external-testset subset with matching QSMs "
+        "(reference SelectTestData.py)",
+    )
+    p.add_argument("--cloudDir", required=True)
+    p.add_argument("--qsmDir", required=True)
+    p.add_argument("--outCloudDir", required=True)
+    p.add_argument("--outQsmDir", required=True)
+    p.add_argument("--n", type=int, default=40)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cloud_suffix", default=".laz")
+
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -98,6 +111,16 @@ def main():
             args.dataDir, args.outputDir, n_per_plot=args.n_per_plot
         )
         print(f"created {len(sets)} qsm sets")
+
+    elif args.command == "select-subset":
+        from treemorph_tpu.preprocess.splitting import select_test_subset
+
+        copied = select_test_subset(
+            args.cloudDir, args.qsmDir, args.outCloudDir,
+            args.outQsmDir, n=args.n, seed=args.seed,
+            cloud_suffix=args.cloud_suffix,
+        )
+        print(f"copied {len(copied)} cloud/QSM pairs")
 
 
 if __name__ == "__main__":

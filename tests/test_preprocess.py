@@ -154,3 +154,30 @@ class TestDatasetIntegration:
         assert b.coords.shape[0] == 2
         assert b.coords.shape[1] % 256 == 0
         assert b.mask_valid.any()
+
+
+class TestSelectTestSubset:
+    def test_copies_matching_pairs(self, tmp_path, rng):
+        from treemorph_tpu.preprocess.splitting import select_test_subset
+
+        cloud_dir = tmp_path / "clouds"
+        qsm_dir = tmp_path / "qsms"
+        cloud_dir.mkdir()
+        qsm_dir.mkdir()
+        for i in range(6):
+            (cloud_dir / f"P{i}_tree_{i}_scan.laz").write_bytes(b"x")
+            if i != 4:  # one cloud without a QSM
+                (qsm_dir / f"P{i}_tree_{i}_qsm.csv").write_bytes(b"y")
+        out_c = tmp_path / "sub_clouds"
+        out_q = tmp_path / "sub_qsms"
+        copied = select_test_subset(
+            str(cloud_dir), str(qsm_dir), str(out_c), str(out_q), n=6,
+            seed=3,
+        )
+        assert len(copied) == 5  # the unmatched cloud is skipped
+        import os
+
+        for cloud, qsm in copied:
+            assert os.path.exists(out_c / cloud)
+            assert os.path.exists(out_q / qsm)
+            assert qsm.startswith("_".join(cloud.split("_")[:3]))

@@ -14,7 +14,11 @@ import os
 import re
 from collections import defaultdict
 
+import logging
+
 import numpy as np
+
+logger = logging.getLogger("treemorph_tpu.preprocess")
 
 
 def _plot_of(filename: str) -> str:
@@ -132,3 +136,54 @@ def create_qsm_test_sets(
             json.dump(chosen, f, indent=4)
         sets[plot] = chosen
     return sets
+
+
+def select_test_subset(
+    cloud_dir: str,
+    qsm_dir: str,
+    out_cloud_dir: str,
+    out_qsm_dir: str,
+    n: int = 40,
+    seed: int = 0,
+    cloud_suffix: str = ".laz",
+):
+    """Copy a random subset of external test clouds with their matching
+    QSM CSVs (reference ``PreProcessing/SelectTestData.py``): clouds and
+    QSMs pair on the first three underscore-separated name tokens.
+
+    Returns the list of (cloud, qsm) basename pairs copied.
+    """
+    import shutil
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_cloud_dir, exist_ok=True)
+    os.makedirs(out_qsm_dir, exist_ok=True)
+
+    def prefix(name):
+        return "_".join(name.split("_")[:3])
+
+    clouds = sorted(
+        f for f in os.listdir(cloud_dir) if f.endswith(cloud_suffix)
+    )
+    rng.shuffle(clouds)
+    copied = []
+    for cloud in clouds[:n]:
+        p = prefix(cloud)
+        qsms = sorted(
+            f
+            for f in os.listdir(qsm_dir)
+            if f.startswith(p) and f.endswith(".csv")
+        )
+        if not qsms:
+            logger.warning("no QSM found for %s", cloud)
+            continue
+        shutil.copy(
+            os.path.join(cloud_dir, cloud),
+            os.path.join(out_cloud_dir, cloud),
+        )
+        shutil.copy(
+            os.path.join(qsm_dir, qsms[0]),
+            os.path.join(out_qsm_dir, qsms[0]),
+        )
+        copied.append((cloud, qsms[0]))
+    return copied
