@@ -370,3 +370,41 @@ class TestPadPerElement:
         out = model.apply(var, coords, fts, bid, valid, train=False)
         off = np.asarray(out["offset_predictions"])
         assert np.isfinite(off[np.asarray(valid)]).all()
+
+
+class TestPoolShrink:
+    def test_tighter_caps_identical_when_counts_fit(self, rng):
+        # dense surface: coarse counts fit the shrink-4 caps, so the only
+        # change is padding -> outputs must match the lossless default
+        import numpy as np
+
+        from treemorph_tpu.fixtures import synthetic_cylinder_cloud
+        from treemorph_tpu.models.ptv3 import PointTransformerWithHeads
+
+        cloud = synthetic_cylinder_cloud(
+            2048, rng=np.random.default_rng(5)
+        )
+        coords = jnp.asarray(cloud[:, :3])
+        feats = jnp.asarray(cloud[:, 7:11].astype(np.float32))
+        bid = jnp.zeros(2048, jnp.int32)
+        valid = jnp.ones(2048, bool)
+        cfg = dict(
+            dim_feat=4, use_feats=True, voxel_size=0.05,
+            enc_depths=(1, 1, 1), enc_channels=(8, 16, 16),
+            enc_num_head=(1, 2, 2), enc_patch_size=(128, 128, 128),
+            dec_depths=(1, 1), dec_channels=(8, 8),
+            dec_num_head=(1, 1), dec_patch_size=(128, 128),
+            drop_path=0.0,
+        )
+        outs = []
+        for shrink in (2, 4):
+            model = PointTransformerWithHeads(pool_shrink=shrink, **cfg)
+            var = model.init(
+                jax.random.key(0), coords, feats, bid, valid,
+                train=False,
+            )
+            out = model.apply(
+                var, coords, feats, bid, valid, train=False
+            )
+            outs.append(np.asarray(out["offset_predictions"]))
+        np.testing.assert_array_equal(outs[0], outs[1])

@@ -567,6 +567,13 @@ class PointTransformerV3(nn.Module):
     shuffle_orders: bool = True
     pad_per_element: bool = False  # reference window partitioning
     num_elements: int | None = None  # static batch-element count
+    #: static capacity shrink per pooled level. 2 is always lossless;
+    #: surface clouds at pipeline densities coarsen ~4x per stride-2
+    #: level, so 4 halves the padded size of every level below the first
+    #: (outputs are IDENTICAL whenever the real coarse count fits the
+    #: cap — overflow points are dropped+masked only on adversarial
+    #: volumetric clouds).
+    pool_shrink: int = 2
 
     @nn.compact
     def __call__(
@@ -625,7 +632,10 @@ class PointTransformerV3(nn.Module):
                 # the attention patch so windows stay static-shape
                 patch = self.enc_patch_size[s]
                 p_now = ps.feat.shape[0]
-                cap = max(-(-(p_now // 2) // patch) * patch, patch)
+                cap = max(
+                    -(-(p_now // self.pool_shrink) // patch) * patch,
+                    patch,
+                )
                 cap = min(cap, p_now)
                 coarse, cluster = SerializedPooling(
                     self.enc_channels[s],
@@ -701,6 +711,7 @@ class PointTransformerWithHeads(nn.Module):
     drop_path: float = 0.3
     pad_per_element: bool = False  # reference window partitioning
     num_elements: int | None = None
+    pool_shrink: int = 2
 
     @nn.compact
     def __call__(
@@ -728,6 +739,7 @@ class PointTransformerWithHeads(nn.Module):
             grid_size=self.voxel_size,
             pad_per_element=self.pad_per_element,
             num_elements=self.num_elements,
+            pool_shrink=self.pool_shrink,
             name="backbone",
         )(coords, feats, batch_ids, valid, train, shuffle_rng)
 
