@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Training-step benchmark: TreeLearn fwd+bwd+update on a 30-tree batch.
+"""Training-step benchmark for all three families.
 
-The reference's only published numbers are training epoch times
-(TreeLearn 12.96 s/epoch at 30 trees/batch, unstated single GPU,
-``Plotting/computational_expenses.py``). This measures our equivalent
-train step on the same batch shape and prints a JSON comparison.
+The reference's only published numbers are training epoch times at fixed
+batch shapes (``Plotting/computational_expenses.py``, unstated single
+GPU): TreeLearn 12.96 s/epoch @ 30 trees/batch, PointTransformerV3
+39.05 s/epoch @ 4 trees/batch, PointNet2 1384 s/epoch @ 60-raster
+hierarchical minibatches. This measures one optimizer step
+(fwd+bwd+AdamW) at the same batch shapes and prints a JSON comparison.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -16,30 +19,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-REFERENCE_EPOCH_SECONDS = 12.96  # BASELINE.md
-TREES_PER_BATCH = 30
+REFERENCE_EPOCH_SECONDS = {
+    "treelearn": 12.96,
+    "ptv3": 39.05,
+    "pointnet2": 1384.07,
+}
+BATCH_SHAPE = {
+    # (elements per batch, points per element)
+    "treelearn": (30, 16384),
+    "ptv3": (4, 16384),
+    "pointnet2": (60, 4096),  # 60 rasters (reference minibatch size)
+}
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    jax.config.update(
-        "jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu"
-    )
-
-    from treemorph_tpu.data import make_padded_batch
+def make_samples(trees, n_points):
     from treemorph_tpu.data.treeset import TreeSample
     from treemorph_tpu.fixtures import synthetic_qsm, synthetic_tree_cloud
-    from treemorph_tpu.models import TreeLearn
-    from treemorph_tpu.train import create_train_state, make_train_step
-    from treemorph_tpu.train.families import init_treelearn, treelearn_family
-    from treemorph_tpu.train.harness import make_optimizer
 
-    n_points = 16384
     rng = np.random.default_rng(0)
     samples = []
-    for _ in range(TREES_PER_BATCH):
+    for _ in range(trees):
         qsm = synthetic_qsm(rng=rng)
         pts, _ = synthetic_tree_cloud(qsm=qsm, points_per_m2=4000, rng=rng)
         if len(pts) >= n_points:
@@ -61,53 +60,95 @@ def main():
                 path="bench",
             )
         )
-    batch = make_padded_batch(samples, bucket=n_points)
-    batch = jax.tree.map(jnp.asarray, batch)
+    return samples
 
-    model = TreeLearn(
-        channels=32,
-        num_blocks=3,
-        dim_feat=4,
-        voxel_size=0.02,
-        batch_size=TREES_PER_BATCH,
-        voxel_capacity_divisor=2,
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--family", default="treelearn",
+        choices=["treelearn", "ptv3", "pointnet2"],
     )
-    variables = init_treelearn(model, batch, jax.random.key(0))
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu"
+    )
+
+    from treemorph_tpu.data import make_padded_batch
+    from treemorph_tpu.models import PointNet2, TreeLearn
+    from treemorph_tpu.models.ptv3 import PointTransformerWithHeads
+    from treemorph_tpu.train import create_train_state, make_train_step
+    from treemorph_tpu.train.families import (
+        init_pointnet2,
+        init_ptv3,
+        init_treelearn,
+        pointnet2_family,
+        ptv3_family,
+        treelearn_family,
+    )
+    from treemorph_tpu.train.harness import make_optimizer
+
+    trees, n_points = BATCH_SHAPE[args.family]
+    samples = make_samples(trees, n_points)
+    batch = jax.tree.map(
+        jnp.asarray, make_padded_batch(samples, bucket=n_points)
+    )
+
+    if args.family == "treelearn":
+        model = TreeLearn(
+            channels=32, num_blocks=3, dim_feat=4, voxel_size=0.02,
+            batch_size=trees, voxel_capacity_divisor=2,
+        )
+        variables = init_treelearn(model, batch, jax.random.key(0))
+        forward_fn, loss_fn = treelearn_family(model)
+    elif args.family == "ptv3":
+        model = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.02
+        )
+        variables = init_ptv3(model, batch, jax.random.key(0))
+        forward_fn, loss_fn = ptv3_family(model)
+    else:
+        model = PointNet2(depth=5, dim_feat=4)
+        variables = init_pointnet2(model, batch, jax.random.key(0))
+        forward_fn, loss_fn = pointnet2_family(model)
+
     tx = make_optimizer()
     state = create_train_state(variables, tx)
-    forward_fn, loss_fn = treelearn_family(model)
     train_step = make_train_step(forward_fn, loss_fn, tx)
 
     lr = jnp.float32(1e-3)
     state, metrics = train_step(state, batch, lr, jax.random.key(1))
     jax.block_until_ready(metrics["loss"])  # compile + warmup
+    float(metrics["loss"])
 
     # async-pipelined: steps chain through `state`, so dispatching all
     # iters and fetching the final loss forces every step to execute
     # back-to-back on device; a per-step float() sync would add ~250 ms
     # of axon host-tunnel round trip per step (measurement overhead).
-    iters = 5
     t0 = time.perf_counter()
-    for i in range(iters):
+    for i in range(args.iters):
         state, metrics = train_step(
             state, batch, lr, jax.random.key(2 + i)
         )
     float(metrics["loss"])
-    step_seconds = (time.perf_counter() - t0) / iters
+    step_seconds = (time.perf_counter() - t0) / args.iters
 
-    points_per_sec = TREES_PER_BATCH * n_points / step_seconds
+    points_per_sec = trees * n_points / step_seconds
     print(
         json.dumps(
             {
-                "metric": "treelearn_train_step_seconds_30trees",
+                "metric": f"{args.family}_train_step_seconds",
                 "value": round(step_seconds, 4),
                 "unit": "s/step",
+                "batch": f"{trees}x{n_points}",
                 "points_per_sec": round(points_per_sec, 1),
-                "reference_epoch_seconds": REFERENCE_EPOCH_SECONDS,
-                "note": (
-                    "reference epoch = 12.96s at 30 trees/batch (unknown "
-                    "steps/epoch); our step covers 30 trees x 16384 pts"
-                ),
+                "reference_epoch_seconds":
+                    REFERENCE_EPOCH_SECONDS[args.family],
             }
         )
     )

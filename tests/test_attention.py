@@ -68,3 +68,42 @@ class TestWindowAttention:
         e = np.exp(s - s.max(1, keepdims=True))
         w = e / e.sum(1, keepdims=True)
         np.testing.assert_allclose(out, w @ vn, atol=1e-5)
+
+
+class TestWindowAttentionGradient:
+    def test_vjp_matches_reference_autodiff(self, rng):
+        """The Pallas backward kernel (recompute + softmax backward) must
+        match autodiff through the jnp reference, including masked
+        windows that mix segments and padding."""
+        import jax
+
+        from treemorph_tpu.ops.attention import (
+            window_attention, window_attention_reference,
+        )
+
+        w, h, k, d = 3, 2, 32, 8
+        q, kk, v = (
+            jnp.asarray(rng.normal(size=(w, h, k, d)).astype(np.float32))
+            for _ in range(3)
+        )
+        seg = jnp.asarray(
+            rng.choice([-1, 0, 0, 1, 2], size=(w, k)).astype(np.int32)
+        )
+        cot = jnp.asarray(
+            rng.normal(size=(w, h, k, d)).astype(np.float32)
+        )
+
+        def loss_pallas(q, kk, v):
+            return jnp.vdot(window_attention(q, kk, v, seg, True), cot)
+
+        def loss_ref(q, kk, v):
+            return jnp.vdot(
+                window_attention_reference(q, kk, v, seg), cot
+            )
+
+        g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, kk, v)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, kk, v)
+        for a, b in zip(g_p, g_r):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )

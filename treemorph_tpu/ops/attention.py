@@ -68,7 +68,106 @@ def _window_attention_kernel(
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _window_attention_bwd_kernel(
+    seg_row_ref,  # (1, 1, K)
+    seg_col_ref,  # (1, K, 1)
+    q_ref,  # (1, 1, K, D)
+    k_ref,
+    v_ref,
+    g_ref,  # (1, 1, K, D) output cotangent
+    dq_ref,
+    dk_ref,
+    dv_ref,
+    *,
+    scale: float,
+):
+    """Recompute-probabilities softmax-attention backward, one
+    (window, head) per grid cell; all (K, K) tiles stay in VMEM."""
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32)
+    seg_row = seg_row_ref[0]  # (1, K)
+    seg_col = seg_col_ref[0]  # (K, 1)
+
+    s = jax.lax.dot_general(
+        q * scale,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ok = (seg_col == seg_row) & (seg_col >= 0) & (seg_row >= 0)
+    s = jnp.where(ok, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    e = jnp.where(ok, e, 0.0)
+    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+    p = e / denom  # (K, K)
+
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq_ref[0, 0] = (
+        jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds, q * scale, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bwd_call(q, k, v, seg, g, interpret):
+    w_count, h, kk, d = q.shape
+    scale = d**-0.5
+    kernel = functools.partial(
+        _window_attention_bwd_kernel, scale=scale
+    )
+    seg_row = seg[:, None, :]
+    seg_col = seg[:, :, None]
+    io_spec = pl.BlockSpec(
+        (1, 1, kk, d), lambda w, hh: (w, hh, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    shape = jax.ShapeDtypeStruct((w_count, h, kk, d), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid_spec=pl.GridSpec(
+            grid=(w_count, h),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, kk), lambda w, hh: (w, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, kk, 1), lambda w, hh: (w, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                io_spec,
+                io_spec,
+                io_spec,
+                io_spec,
+            ],
+            out_specs=(io_spec, io_spec, io_spec),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(seg_row, seg_col, q, k, v, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def window_attention(
     q: jax.Array,  # (W, H, K, D)
     k: jax.Array,  # (W, H, K, D)
@@ -76,7 +175,16 @@ def window_attention(
     seg: jax.Array,  # (W, K) int32, -1 for padding slots
     interpret: bool = False,
 ) -> jax.Array:
-    """Masked full-window attention; returns (W, H, K, D) float32."""
+    """Masked full-window attention; returns (W, H, K, D) float32.
+
+    Differentiable: the custom VJP recomputes each window's probability
+    tile in VMEM and runs the standard softmax-attention backward as a
+    second Pallas kernel (without it, reverse-mode through ``pallas_call``
+    fails — PTv3 could not train on TPU)."""
+    return _window_attention_fwd_impl(q, k, v, seg, interpret)
+
+
+def _window_attention_fwd_impl(q, k, v, seg, interpret):
     w_count, h, kk, d = q.shape
     scale = d**-0.5
 
@@ -120,6 +228,32 @@ def window_attention(
         ),
         interpret=interpret,
     )(seg_row, seg_col, q, k, v)
+
+
+def _window_attention_fwd(q, k, v, seg, interpret):
+    out = _window_attention_fwd_impl(q, k, v, seg, interpret)
+    return out, (q, k, v, seg)
+
+
+def _window_attention_bwd(interpret, res, g):
+    q, k, v, seg = res
+    dq, dk, dv = _bwd_call(
+        q.astype(jnp.float32),
+        k.astype(jnp.float32),
+        v.astype(jnp.float32),
+        seg,
+        g.astype(jnp.float32),
+        interpret,
+    )
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        None,
+    )
+
+
+window_attention.defvjp(_window_attention_fwd, _window_attention_bwd)
 
 
 def window_attention_reference(q, k, v, seg):
