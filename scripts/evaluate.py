@@ -30,6 +30,11 @@ def main():
     p.add_argument("--rasterized", action="store_true")
     p.add_argument("--max_trees", type=int, default=None)
     p.add_argument("--plot_path", default=None)
+    p.add_argument(
+        "--scaled_plot_path", default=None,
+        help="piecewise-scaled NND comparison with per-plot scatter and "
+        "power-law fit (reference NN_eval.py:297-688)",
+    )
 
     p = sub.add_parser("predict", help="export refined clouds for a manifest")
     p.add_argument("model", choices=["treelearn", "pointnet2",
@@ -109,6 +114,26 @@ def main():
         if args.plot_path:
             plot_nn_distances(records, args.plot_path)
             print(f"plot written to {args.plot_path}")
+        if args.scaled_plot_path:
+            from treemorph_tpu.evaluation.nn_eval import (
+                plot_nn_distances_scaled, plot_of_path,
+            )
+
+            before = np.concatenate([r["nn_before"] for r in records])
+            after = np.concatenate([r["nn_after"] for r in records])
+            plots = np.concatenate(
+                [
+                    np.full(len(r["nn_before"]), plot_of_path(r["path"]))
+                    for r in records
+                ]
+            )
+            plot_nn_distances_scaled(
+                before, after, args.scaled_plot_path,
+                title=f"NND Comparison {args.model}",
+                tree_plots=list(plots), color_by_plot=True,
+                show_scatter=False, show_fit=True,
+            )
+            print(f"plot written to {args.scaled_plot_path}")
 
     elif args.command == "predict":
         from treemorph_tpu.pipeline.predict import make_predictions

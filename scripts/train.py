@@ -292,7 +292,9 @@ def main():
         metadata = {
             "model": args.model,
             "plot": plot,
-            "voxel_size": args.voxel_size,
+            # record the RESOLVED voxel size, not the unset CLI default —
+            # model_loaders reconstructs the architecture from this
+            "voxel_size": args.voxel_size or 0.02,
             "num_blocks": args.num_blocks,
             "channels": args.channels,
             "depth": args.depth,

@@ -298,3 +298,55 @@ class TestQsmVisualComparison:
             views=("z", "y"),
         )
         assert os.path.getsize(out) > 0
+
+
+class TestTrainCheckpointRoundtrip:
+    def test_load_model_accepts_train_cli_naming_and_null_metadata(
+        self, tmp_path, rng
+    ):
+        """train.py saves '{save_dir}/{family}_CV/P{plot}' with a metadata
+        manifest; load_model must find the bare 'P{n}' directory and must
+        not let null metadata values override family defaults (both were
+        broken: discovered by the first real-hardware train->eval run)."""
+        import jax
+        import jax.numpy as jnp
+
+        from treemorph_tpu.evaluation.model_loaders import (
+            build_model, load_model,
+        )
+        from treemorph_tpu.train.checkpoints import save_checkpoint
+
+        model = build_model(
+            "treelearn", channels=8, num_blocks=2, voxel_size=0.02
+        )
+        n = 256
+        pts = jnp.asarray(
+            rng.normal(size=(n, 3)).astype(np.float32) * 2
+        )
+        variables = model.init(
+            jax.random.key(0), pts,
+            jnp.zeros((n, 4)), jnp.zeros(n, jnp.int32),
+            jnp.ones(n, bool), train=False,
+        )
+        ckpt_dir = tmp_path / "treelearn_CV"
+        save_checkpoint(
+            str(ckpt_dir / "P3"), variables,
+            metadata={
+                "model": "treelearn", "plot": 3,
+                "voxel_size": None,  # the train CLI default
+                "num_blocks": 2, "channels": 8, "depth": None,
+                "dim_feat": 4,
+            },
+        )
+        models = load_model("treelearn", offset_model_dir=str(ckpt_dir))
+        assert sorted(models) == ["O_P3"]
+        pred = models["O_P3"]
+        # null voxel_size must not have overridden the 0.02 default
+        assert pred.model.voxel_size == 0.02
+        out = pred.predict_flat(
+            pts, jnp.zeros((n, 4)), jnp.zeros(n, jnp.int32),
+            jnp.ones(n, bool),
+        )
+        assert np.isfinite(
+            np.asarray(out["offset_predictions"])
+        ).all()

@@ -109,7 +109,9 @@ def _init_variables(model_type: str, model, n_points: int = 256):
 
 
 def _plot_from_name(path: str) -> str | None:
-    m = re.search(r"_P(\d+)", os.path.basename(path))
+    # accept both the reference's "{Model}_P{n}" naming and our train
+    # CLI's bare "P{n}" checkpoint directories
+    m = re.search(r"(?:^|_)P(\d+)$", os.path.basename(path))
     return m.group(1) if m else None
 
 
@@ -142,6 +144,7 @@ def load_model(
                 k: v
                 for k, v in meta.items()
                 if k in FAMILY_DEFAULTS[model_type.lower()]
+                and v is not None  # null metadata must not override
             }
             model = build_model(model_type, **overrides)
             template = _init_variables(model_type.lower(), model)
