@@ -350,3 +350,35 @@ class TestTrainCheckpointRoundtrip:
         assert np.isfinite(
             np.asarray(out["offset_predictions"])
         ).all()
+
+    @pytest.mark.slow
+    def test_load_model_ptv3_template_respects_patch(self, tmp_path, rng):
+        """PTv3 checkpoints failed to load: the loader's 256-point init
+        template violated the 1024-point attention patch (found by the
+        first PTv3 pipeline run on hardware)."""
+        import jax
+        import jax.numpy as jnp
+
+        from treemorph_tpu.evaluation.model_loaders import (
+            build_model, load_model,
+        )
+        from treemorph_tpu.train.checkpoints import save_checkpoint
+
+        model = build_model("pointtransformerv3")
+        n = 1024
+        pts = jnp.asarray(
+            rng.normal(size=(n, 3)).astype(np.float32) * 2
+        )
+        variables = model.init(
+            jax.random.key(0), pts, jnp.zeros((n, 4)),
+            jnp.zeros(n, jnp.int32), jnp.ones(n, bool), train=False,
+        )
+        ckpt_dir = tmp_path / "ptv3_CV"
+        save_checkpoint(
+            str(ckpt_dir / "P3"), variables,
+            metadata={"model": "pointtransformerv3", "plot": 3},
+        )
+        models = load_model(
+            "pointtransformerv3", offset_model_dir=str(ckpt_dir)
+        )
+        assert sorted(models) == ["O_P3"]

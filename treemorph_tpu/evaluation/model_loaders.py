@@ -87,6 +87,11 @@ def build_model(model_type: str, batch_size: int = 1, **overrides):
 
 
 def _init_variables(model_type: str, model, n_points: int = 256):
+    if model_type == "pointtransformerv3":
+        # the serialized attention requires the point count to be a
+        # multiple of the (1024) patch; params are shape-independent so
+        # any compliant template works
+        n_points = max(model.enc_patch_size)
     rng = jax.random.key(0)
     if model_type == "pointnet2":
         init = jax.jit(lambda r, c, f, v: model.init(r, c, f, v, train=False))
