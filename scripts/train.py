@@ -232,9 +232,17 @@ def main():
                 hierarchical_group_iterator,
             )
 
-            example = next(
-                hierarchical_batch_iterator(trainset, args.bucket)
-            )
+            try:
+                example = next(
+                    hierarchical_batch_iterator(trainset, args.bucket)
+                )
+            except StopIteration:
+                raise SystemExit(
+                    f"no training rasters for plot {plot}: the "
+                    "hierarchical metadata contains no trees outside "
+                    "the held-out plot (check --hierarchical_json vs "
+                    "--test_plots)"
+                ) from None
 
             if args.per_minibatch_steps:
                 # round-1 behavior: each raster minibatch = one step
