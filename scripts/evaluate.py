@@ -63,6 +63,12 @@ def main():
                    help="one directory of projected clouds per model")
     p.add_argument("--model_labels", nargs="+", default=None)
     p.add_argument("--suffix", default="_projected.npy")
+    p.add_argument(
+        "--orig_suffix", default=None,
+        help="trainset/old-dataset pairing: match model files to "
+        "'{id}{orig_suffix}' originals by the first two name tokens "
+        "(reference qsm_comp_new.py:91-152)",
+    )
     p.add_argument("--plot_path", required=True)
     p.add_argument("--per_tree_plot_path", default=None)
 
@@ -215,12 +221,14 @@ def main():
             os.path.basename(os.path.normpath(d)) for d in args.model_dirs
         ]
         scatter_o, scatter_m = load_pointwise_distance_pairs(
-            args.orig_dir, args.model_dirs[0], args.suffix
+            args.orig_dir, args.model_dirs[0], args.suffix,
+            orig_suffix=args.orig_suffix,
         )
         means, errs, imps, imp_errs = [], [], [], []
         for d in args.model_dirs:
             d_o, d_m = load_pointwise_distance_pairs(
-                args.orig_dir, d, args.suffix
+                args.orig_dir, d, args.suffix,
+                orig_suffix=args.orig_suffix,
             )
             mean, err, _ = mean_distance_and_error(d_m)
             imp, imp_err, _ = mean_distance_and_error(d_o - d_m)

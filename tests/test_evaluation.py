@@ -382,3 +382,42 @@ class TestTrainCheckpointRoundtrip:
             "pointtransformerv3", offset_model_dir=str(ckpt_dir)
         )
         assert sorted(models) == ["O_P3"]
+
+
+class TestTrainsetPairing:
+    def test_prefix_pairing_with_different_suffixes(self, tmp_path, rng):
+        """The reference's old-dataset mode pairs '{id}_labeled.npy'
+        originals with '{id}_..._projected.npy' model outputs by the
+        first two name tokens (qsm_comp_new.py:91-152)."""
+        import os
+
+        from treemorph_tpu.plotting.qsm_comparison import (
+            load_pointwise_distance_pairs,
+        )
+
+        orig = tmp_path / "orig"
+        model = tmp_path / "model"
+        orig.mkdir()
+        model.mkdir()
+        n = 200
+        pts = rng.normal(size=(n, 3)).astype(np.float32)
+        off = rng.normal(scale=0.05, size=(n, 3)).astype(np.float32)
+        data_o = np.concatenate([pts, off, np.zeros((n, 1), np.float32)], 1)
+        data_m = np.concatenate(
+            [pts, off * 0.5, np.zeros((n, 1), np.float32)], 1
+        )
+        np.save(orig / "42_3_labeled.npy", data_o)
+        np.save(
+            model / "42_3_labeled_pred_denoised_projected.npy", data_m
+        )
+        # an unmatched model file (no corresponding original) is skipped
+        np.save(
+            model / "42_9_labeled_pred_denoised_projected.npy", data_m
+        )
+        d_o, d_m = load_pointwise_distance_pairs(
+            str(orig), str(model),
+            suffix="_labeled_pred_denoised_projected.npy",
+            orig_suffix="_labeled.npy",
+        )
+        assert len(d_o) == len(d_m) == n
+        assert d_m.mean() < d_o.mean()

@@ -57,18 +57,33 @@ def offset_norms_from_file(path: str) -> np.ndarray | None:
 
 
 def load_pointwise_distance_pairs(
-    orig_dir: str, model_dir: str, suffix: str = "_projected.npy"
+    orig_dir: str,
+    model_dir: str,
+    suffix: str = "_projected.npy",
+    orig_suffix: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Aggregate paired per-point distances for identically named files in
-    two directories; pairs with length mismatches are skipped
-    (qsm_comp_new.py:29-88)."""
+    """Aggregate paired per-point distances between two directories;
+    pairs with length mismatches are skipped.
+
+    Default (testset mode, qsm_comp_new.py:29-88): files pair by
+    identical names. With ``orig_suffix`` (trainset/old-dataset mode,
+    qsm_comp_new.py:91-152): a model file pairs with
+    ``{first_two_name_tokens}{orig_suffix}`` in ``orig_dir``.
+    """
     dist_orig, dist_model = [], []
     if not (os.path.isdir(orig_dir) and os.path.isdir(model_dir)):
         return np.array([]), np.array([])
     for name in sorted(os.listdir(model_dir)):
         if not name.endswith(suffix):
             continue
-        d_o = offset_norms_from_file(os.path.join(orig_dir, name))
+        if orig_suffix is None:
+            orig_name = name
+        else:
+            parts = name.split("_")
+            if len(parts) < 2:
+                continue
+            orig_name = f"{parts[0]}_{parts[1]}{orig_suffix}"
+        d_o = offset_norms_from_file(os.path.join(orig_dir, orig_name))
         d_m = offset_norms_from_file(os.path.join(model_dir, name))
         if d_o is None or d_m is None or len(d_o) != len(d_m):
             continue
