@@ -137,7 +137,7 @@ def main():
                 before, after, args.scaled_plot_path,
                 title=f"NND Comparison {args.model}",
                 tree_plots=list(plots), color_by_plot=True,
-                show_scatter=False, show_fit=True,
+                show_scatter=True, show_fit=True,
             )
             print(f"plot written to {args.scaled_plot_path}")
 
@@ -220,16 +220,15 @@ def main():
         labels = args.model_labels or [
             os.path.basename(os.path.normpath(d)) for d in args.model_dirs
         ]
-        scatter_o, scatter_m = load_pointwise_distance_pairs(
-            args.orig_dir, args.model_dirs[0], args.suffix,
-            orig_suffix=args.orig_suffix,
-        )
         means, errs, imps, imp_errs = [], [], [], []
+        scatter_o = scatter_m = None
         for d in args.model_dirs:
             d_o, d_m = load_pointwise_distance_pairs(
                 args.orig_dir, d, args.suffix,
                 orig_suffix=args.orig_suffix,
             )
+            if scatter_o is None:  # scatter panel = first model's pairs
+                scatter_o, scatter_m = d_o, d_m
             mean, err, _ = mean_distance_and_error(d_m)
             imp, imp_err, _ = mean_distance_and_error(d_o - d_m)
             means.append(mean)

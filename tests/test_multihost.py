@@ -103,3 +103,36 @@ class TestGlobalBatchAssembly:
             np.testing.assert_array_equal(
                 np.asarray(got.coords), want.coords
             )
+
+
+class TestCrossHostShapeAgreement:
+    def test_hosts_with_different_tree_sizes_pad_identically(
+        self, tmp_path
+    ):
+        """Each host pads to the GLOBAL batch's max (read from npy
+        headers) — independent local padding would give the processes
+        mismatched global shapes and mismatched SPMD programs."""
+        from treemorph_tpu.fixtures import synthetic_cylinder_cloud
+
+        paths = []
+        # deliberately different sizes: host 0's slice stays <=1024 pts,
+        # host 1's slice contains a bigger tree
+        for i, n in enumerate((200, 300, 1500, 400)):
+            cloud = synthetic_cylinder_cloud(
+                n, rng=np.random.default_rng(i)
+            ).astype(np.float32)
+            p = tmp_path / f"tree_{i:02d}.npy"
+            np.save(p, cloud)
+            paths.append(str(p))
+        ds = TreeDataset(paths, training=False, process_json=False)
+        mesh = make_mesh(2)
+        shapes = []
+        for proc in range(2):
+            it = multihost_batch_iterator(
+                ds, global_batch_size=4, mesh=mesh, bucket=256,
+                shuffle=False, process_index=proc, process_count=2,
+            )
+            batch = next(it)
+            shapes.append(batch.coords.shape)
+        assert shapes[0] == shapes[1]
+        assert shapes[0][1] >= 1500  # covers the global max

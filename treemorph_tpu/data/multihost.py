@@ -24,13 +24,20 @@ cleanly: process_count=1 means the "host shard" is the whole batch and
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .treeset import PaddedBatch, TreeDataset, make_padded_batch
+from .treeset import (
+    PaddedBatch,
+    TreeDataset,
+    _cloud_stem,
+    make_padded_batch,
+    pad_to_bucket,
+)
 
 
 def host_shard_paths(
@@ -100,14 +107,35 @@ def multihost_batch_iterator(
     rng = np.random.default_rng(seed)
     if shuffle is None:
         shuffle = dataset.training
+
+    # Every host must pad its local slice to the SAME point dimension or
+    # the processes infer different global shapes and compile mismatched
+    # SPMD programs. Point counts of every tree (and its noise cloud) are
+    # read from the .npy headers up front — cheap (no data read) and
+    # identical on all hosts.
+    sizes = []
+    for path in dataset.data_paths:
+        n = np.load(path, mmap_mode="r").shape[0]
+        base = os.path.basename(path)
+        noise_path = dataset.noise_dict.get(
+            base, dataset.noise_dict.get(_cloud_stem(base))
+        )
+        if noise_path is not None:
+            n = max(n, np.load(noise_path, mmap_mode="r").shape[0])
+        sizes.append(n)
+    sizes = np.asarray(sizes)
+
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)
     for i in range(0, len(order) - global_batch_size + 1,
                    global_batch_size):
+        global_idx = order[i : i + global_batch_size]
+        # pad target of the GLOBAL batch, same on every host
+        target = pad_to_bucket(int(sizes[global_idx].max()), bucket)
         mine = order[i + process_index * local:
                      i + (process_index + 1) * local]
         local_batch = make_padded_batch(
-            [dataset[j] for j in mine], bucket
+            [dataset[j] for j in mine], bucket=target
         )
         yield global_batch_from_local(local_batch, mesh, axis_name)

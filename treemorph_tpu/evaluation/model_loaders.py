@@ -114,9 +114,9 @@ def _init_variables(model_type: str, model, n_points: int = 256):
 
 
 def _plot_from_name(path: str) -> str | None:
-    # accept both the reference's "{Model}_P{n}" naming and our train
+    # accept the reference's "{Model}_P{n}[suffix]" naming and our train
     # CLI's bare "P{n}" checkpoint directories
-    m = re.search(r"(?:^|_)P(\d+)$", os.path.basename(path))
+    m = re.search(r"(?:^|_)P(\d+)(?!\d)", os.path.basename(path))
     return m.group(1) if m else None
 
 

@@ -297,9 +297,16 @@ def plot_nn_distances_subplots(
         )
         x_t, y_t = custom_scale(centers), custom_scale(means)
         ok = ~np.isnan(y_t)
+        # error bars transform as scale(mean±std)-scale(mean): the std is
+        # an interval, not a coordinate on the piecewise axis
+        lo = custom_scale(np.clip(means - stds, 1e-6, None))
+        hi = custom_scale(np.clip(means + stds, 1e-6, None))
+        yerr = [
+            np.maximum(y_t - lo, 0)[ok],
+            np.maximum(hi - y_t, 0)[ok],
+        ]
         ax.errorbar(
-            x_t[ok], y_t[ok],
-            yerr=np.nan_to_num(custom_scale(stds))[ok], fmt="o",
+            x_t[ok], y_t[ok], yerr=yerr, fmt="o",
             color=PLOT_COLORS.get(str(p), "red"), capsize=3,
         )
         diag = np.linspace(0.0, 1.1, 50)

@@ -167,7 +167,9 @@ def select_test_subset(
     )
     rng.shuffle(clouds)
     copied = []
-    for cloud in clouds[:n]:
+    for cloud in clouds:  # walk past unmatched clouds until n pairs
+        if len(copied) >= n:
+            break
         p = prefix(cloud)
         qsms = sorted(
             f
