@@ -408,3 +408,54 @@ class TestPoolShrink:
             )
             outs.append(np.asarray(out["offset_predictions"]))
         np.testing.assert_array_equal(outs[0], outs[1])
+
+
+class TestPadPerElementTraining:
+    def test_gradients_flow_through_pad_layout(self, rng):
+        import numpy as np
+
+        from treemorph_tpu.models.ptv3 import PointTransformerWithHeads
+
+        patch = 16
+        counts = (23, 9)
+        pts = rng.normal(size=(sum(counts), 3)).astype(np.float32) * 2
+        p = -(-sum(counts) // patch) * patch
+        coords = jnp.asarray(np.concatenate(
+            [pts, np.zeros((p - len(pts), 3), np.float32)]
+        ))
+        feats = jnp.asarray(
+            rng.normal(size=(p, 4)).astype(np.float32)
+        )
+        bid = jnp.asarray(np.concatenate(
+            [np.full(c, b, np.int32) for b, c in enumerate(counts)]
+            + [np.zeros(p - sum(counts), np.int32)]
+        ))
+        valid = jnp.asarray(np.arange(p) < sum(counts))
+
+        model = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.3,
+            enc_depths=(1, 1), enc_channels=(8, 16),
+            enc_num_head=(1, 2), enc_patch_size=(patch, patch),
+            dec_depths=(1,), dec_channels=(8,), dec_num_head=(1,),
+            dec_patch_size=(patch,), drop_path=0.0,
+            pad_per_element=True, num_elements=2,
+        )
+        var = model.init(
+            jax.random.key(0), coords, feats, bid, valid, train=False
+        )
+
+        def loss(params):
+            out = model.apply(
+                {"params": params, "batch_stats": var["batch_stats"]},
+                coords, feats, bid, valid, train=False,
+            )
+            off = out["offset_predictions"]
+            return jnp.sum(jnp.where(valid[:, None], off**2, 0.0))
+
+        g = jax.grad(loss)(var["params"])
+        norms = [
+            float(jnp.linalg.norm(leaf))
+            for leaf in jax.tree_util.tree_leaves(g)
+        ]
+        assert all(np.isfinite(n) for n in norms)
+        assert sum(norms) > 0  # gradients actually flow
