@@ -187,3 +187,36 @@ class TestFixtures:
         )
         # most points should be within a few noise sigmas of some surface
         assert np.quantile(oracle.min(axis=1), 0.95) < 0.03
+
+
+class TestHostMirror:
+    def test_host_matches_device_kernel(self, rng):
+        """closest_cylinder_host (the QSM engine's per-iteration path)
+        must match the jnp tile bit-for-bit up to argmin tie-breaks."""
+        import jax.numpy as jnp
+
+        from treemorph_tpu.ops.projection import (
+            closest_cylinder, closest_cylinder_host, make_cylinders,
+        )
+
+        m = 12
+        start = rng.normal(size=(m, 3)).astype(np.float32) * 2
+        end = start + rng.normal(size=(m, 3)).astype(np.float32)
+        radius = rng.uniform(0.05, 0.3, m).astype(np.float32)
+        pts = rng.normal(size=(500, 3)).astype(np.float32) * 3
+
+        cyl = make_cylinders(start, end, radius)
+        d_ids, d_dist, d_off = closest_cylinder(
+            jnp.asarray(pts), cyl, tile=512
+        )
+        h_ids, h_dist, h_off = closest_cylinder_host(
+            pts, start, end, radius
+        )
+        np.testing.assert_allclose(
+            h_dist, np.asarray(d_dist), rtol=1e-5, atol=1e-6
+        )
+        same = h_ids == np.asarray(d_ids)
+        assert same.mean() > 0.99  # fp ties only
+        np.testing.assert_allclose(
+            h_off[same], np.asarray(d_off)[same], rtol=1e-4, atol=1e-5
+        )

@@ -70,13 +70,16 @@ def cylinder_proximity_segmentation(
 ) -> np.ndarray:
     """Unset mask bits for points within ``eps`` of the given cylinders.
 
-    Device kernel: the batched point->cylinder distance from
-    :mod:`treemorph_tpu.ops.projection`; only points near the query sphere
-    (3x its radius, reference :1050) are tested.
+    Host kernel: the numpy mirror of the projection tile
+    (:func:`treemorph_tpu.ops.projection.closest_cylinder_host`); only
+    points near the query sphere (3x its radius, reference :1050) are
+    tested. These queries are a few hundred points x tens of cylinders,
+    thousands of times per fit — a per-call device round trip here made
+    the whole fit 20-1000x slower than the reference's host loop
+    (measured under the axon tunnel); the device path stays for the
+    batch-scale projections in labeling/eval.
     """
-    import jax.numpy as jnp
-
-    from ...ops.projection import closest_cylinder, make_cylinders
+    from ...ops.projection import closest_cylinder_host
 
     if not cylinders:
         return candidate_mask.copy()
@@ -93,18 +96,14 @@ def cylinder_proximity_segmentation(
     if idx.size == 0:
         return candidate_mask.copy()
 
-    cyl = make_cylinders(
-        start=np.array([c.start for c in cylinders], np.float32),
-        end=np.array([c.end for c in cylinders], np.float32),
-        radius=np.array([c.radius for c in cylinders], np.float32),
-        ids=np.array([c.id for c in cylinders], np.int32),
-        pad_to=_next_pow2(len(cylinders)),
-    )
-    _, dists, _ = closest_cylinder(
-        jnp.asarray(points[idx, :3].astype(np.float32)), cyl, tile=2048
+    _, dists, _ = closest_cylinder_host(
+        points[idx, :3].astype(np.float32),
+        np.array([c.start for c in cylinders], np.float32),
+        np.array([c.end for c in cylinders], np.float32),
+        np.array([c.radius for c in cylinders], np.float32),
     )
     out = candidate_mask.copy()
-    out[idx[np.asarray(dists) < eps]] = False
+    out[idx[dists < eps]] = False
     return out
 
 
