@@ -1,4 +1,4 @@
-"""Stage 2: KNN-midpoint super-sampling, device-side.
+"""Stage 2: KNN-midpoint super-sampling.
 
 Capability parity with the reference upsampler
 (``/root/reference/Modules/Pipeline/Upsampling.py:22-168``): iteratively
@@ -8,45 +8,48 @@ the cloud base are left untouched; the ``use_only_original_points`` mode
 queries k * 2^i neighbors of the *original* points only, the standard mode
 doubles the full set each iteration.
 
-TPU redesign: the reference loops over points with a cKDTree per iteration;
-here each iteration is ONE device call — a grid-bucketed k-NN over the
-current set followed by a random-neighbor choice and a vectorized midpoint.
-The per-point Python loop (reference :100-151) disappears; iteration counts
-and array sizes are computed on the host so every device call is
-static-shape. The reference visits points in random order, but since its
-search tree is fixed within an iteration the order never affects the result
-— so the vectorized form is behavior-equivalent in distribution.
+Unlike the reference's per-point Python loop (:100-151), each iteration is
+ONE vectorized batch: a parallel cKDTree k-NN over the current set, a
+random-neighbor choice, and a vectorized midpoint. (The reference visits
+points in random order, but its search tree is fixed within an iteration,
+so order never affects the distribution — the vectorized form is
+behavior-equivalent.)
+
+This stage deliberately runs on HOST, not the TPU: it is glue between the
+device-heavy stage 1 and the host-driven QSM stage, each pipeline cloud
+has a fresh shape (a device k-NN recompiles per cloud), and at upsampling
+densities (>=50k pts/m^2) grid-bucket k-NN cells overflow any static
+per-cell cap. Measured on a 505k -> 1M doubling: device grid k-NN 324 s
+(compile + overflow-degraded), parallel cKDTree ~seconds.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
 import numpy as np
+from scipy.spatial import cKDTree
 
-from ..ops.neighbors import knn
 
-
-@partial(jax.jit, static_argnames=("k",))
-def _midpoint_iteration(points, query_points, rng, k: int, cell_size):
+def _midpoint_iteration(
+    points: np.ndarray,
+    query_points: np.ndarray,
+    rng: np.random.Generator,
+    k: int,
+):
     """One round: each query point pairs with a random one of its k nearest
-    (excluding self) and emits the midpoint."""
-    n = points.shape[0]
-    valid = jnp.ones(n, bool)
-    idx, d2 = knn(points, query_points, valid, k + 1, cell_size, 32)
-    # exclude self / zero-distance duplicates (reference: distances > 1e-9)
-    usable = jnp.isfinite(d2) & (d2 > 1e-18)
-    scores = jnp.where(
-        usable,
-        jax.random.uniform(rng, idx.shape),
-        -1.0,
-    )
-    choice = jnp.argmax(scores, axis=1)
-    rows = jnp.arange(query_points.shape[0])
-    neighbor = points[idx[rows, choice]]
+    (excluding self / zero-distance duplicates, reference: d > 1e-9) and
+    emits the midpoint."""
+    tree = cKDTree(points)
+    k_eff = min(k + 1, len(points))
+    d, idx = tree.query(query_points, k=k_eff, workers=-1)
+    if k_eff == 1:
+        d = d[:, None]
+        idx = idx[:, None]
+    usable = np.isfinite(d) & (d > 1e-9)
+    scores = np.where(usable, rng.random(idx.shape), -1.0)
+    choice = scores.argmax(axis=1)
+    rows = np.arange(len(query_points))
     has_neighbor = scores[rows, choice] > 0
+    neighbor = points[np.clip(idx[rows, choice], 0, len(points) - 1)]
     midpoints = (query_points + neighbor) * 0.5
     return midpoints, has_neighbor
 
@@ -59,7 +62,7 @@ def upsample(
     use_only_original_points: bool = True,
     min_points: int = 1_000_000,
     rng: np.random.Generator | None = None,
-    cell_size: float = 0.2,
+    cell_size: float = 0.2,  # kept for API compatibility; unused
 ) -> np.ndarray:
     """Super-sample a cloud to at least ``min_points`` points.
 
@@ -89,28 +92,25 @@ def upsample(
     iters = min(max_iterations, needed)
 
     new_points = []
-    current = jnp.asarray(above)
-    originals = current
+    current = above
+    originals = above
     for i in range(iters):
-        key = jax.random.key(int(rng.integers(0, 2**31)))
         if use_only_original_points:
-            k_i = min(k_init * (2**i), int(current.shape[0]) - 1)
+            k_i = min(k_init * (2**i), len(current) - 1)
             if k_i < 1:
                 break
             midpoints, ok = _midpoint_iteration(
-                current, originals, key, k_i, cell_size * (1 + i)
+                current, originals, rng, k_i
             )
         else:
             midpoints, ok = _midpoint_iteration(
-                current, current, key, min(k_init, int(current.shape[0]) - 1),
-                cell_size,
+                current, current, rng, min(k_init, len(current) - 1)
             )
-        ok_np = np.asarray(ok)
-        mids = np.asarray(midpoints)[ok_np]
+        mids = midpoints[ok].astype(np.float32)
         if len(mids) == 0:
             break
         new_points.append(mids)
-        current = jnp.concatenate([current, jnp.asarray(mids)])
+        current = np.concatenate([current, mids])
 
     parts = [below, above] + new_points
     return np.vstack(parts).astype(np.float32)
