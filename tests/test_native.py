@@ -59,3 +59,43 @@ class TestNativeQSMCore:
         ours = native.euclidean_cluster(pts, 0.2, 5)
         ref = cluster_labels_euclidian(pts, 0.2, 5)
         assert _canon(ours) == _canon(ref)
+
+
+class TestAngularClusterLargeShell:
+    def test_kdtree_path_matches_matrix_path(self, rng):
+        """Above the matrix cap the chord-metric KD-tree DBSCAN must give
+        the same clusters (angle<=eps <=> chord<=2sin(eps/2) is exact)."""
+        from treemorph_tpu import native
+
+        # two well-separated direction bundles + scattered noise
+        n = 2000
+        a = rng.normal(size=(n // 2, 3)) * 0.08 + np.array([1.0, 0, 0])
+        b = rng.normal(size=(n // 2 - 50, 3)) * 0.08 + np.array([0, 1.0, 0])
+        c = rng.normal(size=(50, 3))
+        u = np.concatenate([a, b, c])
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        u = u.astype(np.float32)
+
+        eps, min_samples = 0.2, 5
+        big = native.angular_cluster(u, eps, min_samples)  # kd path
+        old_cap = native.ANGULAR_MATRIX_MAX
+        try:
+            native.ANGULAR_MATRIX_MAX = 10**9  # force matrix path
+            small = native.angular_cluster(u, eps, min_samples)
+        finally:
+            native.ANGULAR_MATRIX_MAX = old_cap
+
+        # same noise set and same cluster PARTITION (ids may differ)
+        np.testing.assert_array_equal(big == -1, small == -1)
+        from collections import defaultdict
+
+        def groups(labels):
+            g = defaultdict(set)
+            for i, lab in enumerate(labels):
+                if lab != -1:
+                    g[lab].add(i)
+            return sorted(
+                (tuple(sorted(s)) for s in g.values()), key=len
+            )
+
+        assert groups(big) == groups(small)

@@ -94,6 +94,15 @@ def dbscan_precomputed(
         .fit_predict(dist)
 
 
+#: above this shell size the O(n^2) distance matrix (the reference's own
+#: formulation, QSMFittingDepthFirst.py:133-147) is replaced by an exact
+#: O(n log n) equivalent: angle(u, v) <= eps  <=>  |u - v| <= 2 sin(eps/2)
+#: on unit vectors, so euclidean KD-tree DBSCAN with the chord eps yields
+#: the same neighborhoods. At 1M-point clouds shells reach ~30k points
+#: and the matrix path took 10.6 s per sphere (3.6 GB each).
+ANGULAR_MATRIX_MAX = 1500
+
+
 def angular_cluster(
     unit_vectors: np.ndarray, eps: float, min_samples: int
 ) -> np.ndarray:
@@ -102,6 +111,13 @@ def angular_cluster(
     QSMFittingDepthFirst.py:115-148)."""
     lib = _load()
     n = len(unit_vectors)
+    if n > ANGULAR_MATRIX_MAX:
+        from sklearn.cluster import DBSCAN
+
+        chord = 2.0 * np.sin(min(eps, np.pi) / 2.0)
+        return DBSCAN(
+            eps=chord, min_samples=min_samples, algorithm="kd_tree"
+        ).fit_predict(np.asarray(unit_vectors, np.float64))
     if lib is not None:
         u = np.ascontiguousarray(unit_vectors, np.float32)
         dist = np.empty((n, n), np.float32)
