@@ -1,13 +1,15 @@
 """Stage 3: sphere-following QSM fitting engine.
 
-Host-orchestrated state machine with device geometry kernels — the TPU
-rebuild of reference ``QSMFittingDepthFirst.py:1096-2041``:
+Host-orchestrated state machine — the rebuild of reference
+``QSMFittingDepthFirst.py:1096-2041``:
 
 - :func:`cluster_points_priority` — min-heap sphere following with the
   moving-average priority ``alpha*spread + (1-alpha)*parent`` (:1096-1452);
 - :func:`cylinder_proximity_segmentation` — points within ``eps_cylinder``
-  of freshly fitted cylinders are segmented via the batched TPU
-  point->cylinder kernel (:1006-1094 used the GPU broadcast kernel);
+  of freshly fitted cylinders are segmented via the numpy mirror of the
+  projection kernel (:1006-1094 used the GPU broadcast kernel; our
+  per-iteration queries are a few hundred points x tens of cylinders,
+  where a device round trip costs more than the whole computation);
 - :func:`grow_cluster` — expanding-search-radius branch discovery +
   connection (:1522-1638);
 - :func:`find_best_merge_connection` / :func:`connect_branch_to_main` /
@@ -18,10 +20,10 @@ rebuild of reference ``QSMFittingDepthFirst.py:1096-2041``:
 - :func:`fit_qsm` — the driver with seed loop, stall detection, partial
   result export, cProfile dump, and per-tree debug logging (:1773-2041).
 
-The inherently sequential control flow stays on the host (it is CPU-bound
-in the reference too, SURVEY.md §3.3); all heavy geometry (the
-point->cylinder distance field) runs on device through
-:mod:`treemorph_tpu.ops.projection`. All randomness flows through one
+The inherently sequential control flow AND the small per-iteration
+geometry stay on the host (it is CPU-bound in the reference too,
+SURVEY.md §3.3); the device projection kernel serves the batch-scale
+labeling/eval paths. All randomness flows through one
 ``numpy.random.Generator`` so fits are reproducible (the reference uses
 global ``random``/``np.random`` state).
 """
