@@ -117,6 +117,11 @@ def main():
         coords[:n], feats[:n], batch_ids[:n], valid[:n], 1, n
     )
 
+    # stage-3 QSM fit on a ~48k-point synthetic tree: the reference's own
+    # fitter (run directly on this machine, torch-cpu) takes 4.1 s on the
+    # identical cloud; see README pipeline table.
+    qsm_seconds = _bench_qsm()
+
     print(
         json.dumps(
             {
@@ -130,9 +135,26 @@ def main():
                 "ptv3_vs_baseline": round(
                     ptv3_points_per_sec / reference_points_per_sec_est, 3
                 ),
+                "qsm_fit_seconds_48k_points": round(qsm_seconds, 2),
+                "qsm_vs_reference_fit": round(4.1 / qsm_seconds, 2),
             }
         )
     )
+
+
+def _bench_qsm():
+    from treemorph_tpu.fixtures import synthetic_qsm, synthetic_tree_cloud
+    from treemorph_tpu.pipeline.qsm import QSMParams, fit_qsm
+
+    rng = np.random.default_rng(11)
+    qsm = synthetic_qsm(n_branches=3, rng=rng)
+    points, _ = synthetic_tree_cloud(
+        qsm=qsm, points_per_m2=5000, noise_scale=0.004,
+        outlier_fraction=0.0, rng=rng,
+    )
+    t0 = time.perf_counter()
+    fit_qsm(points, params=QSMParams(seed=0))
+    return time.perf_counter() - t0
 
 
 def _bench_ptv3(coords, feats, batch_ids, valid, b, n):
