@@ -399,8 +399,6 @@ class SerializedPooling(nn.Module):
         new = jnp.concatenate([jnp.array([True]), new])
         new = jnp.where(s_valid, new, True)
         s_cluster = jnp.cumsum(new.astype(jnp.int32)) - 1
-        num_clusters = jnp.where(s_valid, s_cluster + 1, 0).max()
-        num_clusters = jnp.minimum(num_clusters, cap)
 
         # scatter cluster ids back to original point order; cap = dump
         cluster = jnp.zeros(p, jnp.int32).at[order0].set(
@@ -508,10 +506,20 @@ class SerializedUnpooling(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, coarse_feat, fine: PointSet, cluster, train: bool):
+    def __call__(
+        self,
+        coarse_feat,
+        coarse_valid,
+        fine: PointSet,
+        cluster,
+        train: bool,
+    ):
         x = nn.Dense(self.out_channels, name="proj")(coarse_feat)
+        # the coarse level is statically over-capped (pool_shrink), so an
+        # all-ones mask here would fold the padded rows (pure Dense bias)
+        # into the BatchNorm statistics
         x = MaskedBatchNorm(momentum=0.99, epsilon=1e-3, name="norm")(
-            x, jnp.ones(x.shape[0], bool), train
+            x, coarse_valid, train
         )
         x = nn.gelu(x)
         skip = nn.Dense(self.out_channels, name="proj_skip")(fine.feat)
@@ -675,7 +683,7 @@ class PointTransformerV3(nn.Module):
             fine, cluster, rulebook = skips.pop()
             ps = SerializedUnpooling(
                 self.dec_channels[s], name=f"dec{s}_up"
-            )(ps.feat, fine, cluster, train)
+            )(ps.feat, ps.valid, fine, cluster, train)
             dp_slice = dec_dp[
                 sum(self.dec_depths[:s]) : sum(self.dec_depths[: s + 1])
             ][::-1]

@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .sparse import _spatial_hash, build_table, lookup
+from .sparse import build_table, dedup_sort_perm, lookup
 
 BRICK = 4  # brick edge in voxels
 CELLS = BRICK**3
@@ -66,10 +66,7 @@ def brickize(
     cell = xyz & 3
 
     key4 = jnp.concatenate([b[:, None], bxyz], axis=1)
-    sort_key = jnp.where(
-        valid, _spatial_hash(key4), jnp.uint32(0xFFFFFFFF)
-    )
-    perm = jnp.argsort(sort_key)
+    perm = dedup_sort_perm(key4, valid)
     sort_b = jnp.where(valid, b, jnp.int32(0x7FFFFFF0))
     key = jnp.concatenate([sort_b[perm][:, None], bxyz[perm]], axis=1)
     s_valid = valid[perm]

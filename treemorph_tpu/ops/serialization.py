@@ -12,9 +12,9 @@ has no bit-view reinterpretation, so codes here are a pair of uint32 words
 ``(hi, lo)`` holding the 3*depth-bit key; ordering uses a stable lexsort over
 ``(batch, hi, lo)``, which is exactly the order of the reference's packed
 int64 key. The Hilbert transform is the Skilling gray-code algorithm
-(Skilling 2004, public domain) vectorized over bit-planes — a (N, 3, depth)
-0/1 tensor and an unrolled loop of XOR/AND bit-plane updates that XLA fuses
-into VPU ops.
+(Skilling 2004, public domain) in pure integer arithmetic — packed per-axis
+int32 bit planes with XOR/mask updates and a prefix-XOR gray decode, all
+fused VPU ops.
 """
 
 from __future__ import annotations
@@ -26,21 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 ORDERS = ("z", "z-trans", "hilbert", "hilbert-trans")
-
-
-def _pack_bits_msb(bits: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Pack an MSB-first (N, nbits) 0/1 array into (hi, lo) uint32 words."""
-    n_bits = bits.shape[-1]
-    hi = jnp.zeros(bits.shape[:-1], dtype=jnp.uint32)
-    lo = jnp.zeros(bits.shape[:-1], dtype=jnp.uint32)
-    for k in range(n_bits):
-        significance = n_bits - 1 - k
-        b = bits[..., k].astype(jnp.uint32)
-        if significance < 32:
-            lo = lo | (b << significance)
-        else:
-            hi = hi | (b << (significance - 32))
-    return hi, lo
 
 
 @partial(jax.jit, static_argnames=("depth",))

@@ -64,6 +64,26 @@ def _spatial_hash2(coords: jax.Array) -> jax.Array:
     return h
 
 
+def dedup_sort_perm(key4: jax.Array, valid: jax.Array) -> jax.Array:
+    """Permutation bringing equal (b, x, y, z) rows adjacent, padding last.
+
+    Sorts by TWO independent 32-bit hashes with the validity bit as the
+    primary key. Downstream boundary detection compares full coordinates,
+    so a residual collision can only FRAGMENT a group (both hashes equal
+    for distinct keys AND their rows interleaved, ~2^-64 birthday odds),
+    never merge one. A single 32-bit hash was NOT enough: at ~1M distinct
+    keys the birthday bound gives ~100 colliding pairs per call, and a
+    collided pair whose members interleave under the stable sort splits
+    one voxel into several duplicates. The explicit validity key also
+    removes the 2^-32 chance of a real key tying with the old padding
+    sentinel.
+    """
+    h1 = _spatial_hash(key4)
+    h2 = _spatial_hash2(key4)
+    invalid = (~valid).astype(jnp.uint32)
+    return jnp.lexsort((h2, h1, invalid))
+
+
 SLOTS_PER_BUCKET = 16  # one 128-byte row per bucket
 
 
@@ -181,12 +201,17 @@ def lookup(
     idx_lanes = data[:, :SLOTS_PER_BUCKET]  # stored indices (or -1)
     hash_lanes = data[:, SLOTS_PER_BUCKET:]  # stored hash2
     match = (idx_lanes >= 0) & (hash_lanes == qh2[:, None])
-    found = jnp.max(jnp.where(match, idx_lanes, -1), axis=1)
 
     if verify_coords:
-        stored = table.coords[jnp.clip(found, 0, table.coords.shape[0] - 1)]
-        exact = jnp.all(stored == q, axis=-1)
-        found = jnp.where(exact, found, -1)
+        # verify EVERY matching lane, not just a chosen one: two stored
+        # voxels sharing a bucket AND hash2 would otherwise make the
+        # wrong lane win the max and the single verify reject a query
+        # that IS in the table (a false negative breaking the exactness
+        # guarantee and the rulebook antisymmetry the conv VJP uses)
+        safe = jnp.clip(idx_lanes, 0, table.coords.shape[0] - 1)
+        stored = table.coords[safe]  # (Q, 16, 4)
+        match = match & jnp.all(stored == q[:, None, :], axis=-1)
+    found = jnp.max(jnp.where(match, idx_lanes, -1), axis=1)
 
     # Negative coordinates are never in the table (grid coords are >= 0),
     # and XOR-multiply hashes collide SYSTEMATICALLY under paired sign
@@ -231,6 +256,10 @@ def build_rulebook(
     which the conv VJP relies on.)
     """
     m = coords.shape[0]
+    # kernel_offsets is centered only for odd sizes; the identity-center
+    # substitution below (and the VJP's offs[k] == -offs[K-1-k] mirror)
+    # would silently produce a wrong rulebook for even kernels
+    assert kernel_size % 2 == 1, "submanifold rulebooks need odd kernels"
     if table is None:
         table = build_table(coords, valid)
     offs = kernel_offsets(kernel_size)  # (K, 3)
@@ -386,13 +415,10 @@ def build_downsample(
         fine[:, 2] & 1
     )
 
-    # hash sort: equal coarse coords adjacent (boundaries verify full
-    # coords, so collisions are harmless); padding last
+    # double-hash dedup sort: equal coarse coords adjacent, padding last
+    # (see dedup_sort_perm for the collision analysis)
     key4 = jnp.concatenate([b[:, None], coarse], axis=1)
-    sort_key = jnp.where(
-        valid, _spatial_hash(key4), jnp.uint32(0xFFFFFFFF)
-    )
-    perm = jnp.argsort(sort_key)
+    perm = dedup_sort_perm(key4, valid)
     sort_b = jnp.where(valid, b, jnp.int32(0x7FFFFFF0))
     s_key = jnp.concatenate(
         [sort_b[perm][:, None], coarse[perm]], axis=1

@@ -92,17 +92,14 @@ def voxelize(
     grid = jnp.maximum(grid, 0)
     grid = jnp.where(valid[:, None], grid, 0)
 
-    # Dedup needs equal coords ADJACENT, not lexicographic order: one
-    # 32-bit hash sort replaces the 4-key lexsort (~4x cheaper; boundary
-    # detection below still compares full coordinates, so hash collisions
-    # between different voxels are harmless). Padding sorts last.
-    from .sparse import _spatial_hash
+    # Dedup needs equal coords ADJACENT, not lexicographic order: a
+    # double-hash lexsort replaces the 4-key lexsort (boundary detection
+    # below still compares full coordinates; see
+    # sparse.dedup_sort_perm for why one hash was not enough).
+    from .sparse import dedup_sort_perm
 
     key4 = jnp.concatenate([batch_ids[:, None], grid], axis=1)
-    sort_key = jnp.where(
-        valid, _spatial_hash(key4), jnp.uint32(0xFFFFFFFF)
-    )
-    perm = jnp.argsort(sort_key)
+    perm = dedup_sort_perm(key4, valid)
     s_batch = batch_ids[perm]
     s_grid = grid[perm]
     s_valid = valid[perm]
