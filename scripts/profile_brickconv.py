@@ -22,13 +22,18 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _sync_scalar(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf[(0,) * leaf.ndim])
+
+
 def timeit(name, fn, *args, iters=10):
     out = fn(*args)
-    jax.tree_util.tree_map(np.asarray, out)
+    _sync_scalar(out)
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(iters)]
-    leaf = jax.tree_util.tree_leaves(outs[-1])[0]
-    float(np.asarray(leaf).ravel()[0])
+    _sync_scalar(outs[-1])
+    _sync_scalar(outs[0])
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:38s} {dt * 1e3:8.3f} ms", flush=True)
     return dt
@@ -88,9 +93,10 @@ def main():
             )
         return out.reshape(bcap, 4, 4, 4, cout)
 
-    o1 = np.asarray(xla_conv(padded, w27))
-    o2 = np.asarray(xslab(padded, wb))
-    print("xslab max err:", np.abs(o1 - o2).max(), flush=True)
+    err = jax.jit(
+        lambda p, w27, wb: jnp.abs(xla_conv(p, w27) - xslab(p, wb)).max()
+    )(padded, w27, wb)
+    print("xslab max err:", float(err), flush=True)
 
     timeit("a) XLA conv f32", xla_conv, padded, w27)
     timeit("b) x-slab banded matmul f32", xslab, padded, wb)

@@ -13,17 +13,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+import jax
+
+
+def _sync_scalar(out):
+    """Fetch ONE element (4 bytes over the tunnel, not the whole array)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf[(0,) * leaf.ndim])
 
 
 def timeit(name, fn, *args, iters=10):
-    import jax
-
     out = fn(*args)
-    jax.tree_util.tree_map(np.asarray, out)
+    _sync_scalar(out)
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(iters)]
-    leaf = jax.tree_util.tree_leaves(outs[-1])[0]
-    np.asarray(leaf).ravel()[:1]
+    _sync_scalar(outs[-1])
+    _sync_scalar(outs[0])
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name:48s} {dt:8.2f} ms", flush=True)
     return out
@@ -89,8 +94,7 @@ def main():
         )
         w = jnp.asarray(rng.normal(size=(27, c, c)).astype(np.float32) * 0.1)
         conv = jax.jit(lambda f, w, rb, v: subm_conv_apply(f, w, rb, v))
-        timeit(f"subm conv 27x C={c} @262k", conv, f, w, rb, valid=None
-               if False else v_valid)
+        timeit(f"subm conv 27x C={c} @262k", conv, f, w, rb, v_valid)
 
     ds_fn = jax.jit(lambda c, v: build_downsample(c, v, cap // 2))
     ds = timeit("build_downsample @262k -> 131k", ds_fn, v_coords, v_valid)

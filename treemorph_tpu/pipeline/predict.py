@@ -21,10 +21,14 @@ streaming inside the model.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from ..evaluation.model_loaders import Predictor
 from ..data.treeset import pad_to_bucket
+
+logger = logging.getLogger(__name__)
 
 
 def _pad_flat(points: np.ndarray, feats: np.ndarray, bucket: int = 1024):
@@ -68,13 +72,27 @@ def predict_single(
     out = pts.copy()
     if predict_offset and offset_model is not None:
         res = offset_model.predict_flat(coords, f, batch_ids, valid)
+        _warn_dropped(res, "offset model")
         out = out + np.asarray(res["offset_predictions"])[:n]
     if denoise and noise_model is not None:
         res = noise_model.predict_flat(coords, f, batch_ids, valid)
+        _warn_dropped(res, "noise model")
         logits = np.asarray(res["semantic_prediction_logits"])[:n]
         keep = logits.argmax(axis=1) == 0
         out = out[keep]
     return out
+
+
+def _warn_dropped(res: dict, what: str) -> None:
+    """Surface static-cap overflow (dropped voxels silently degrade
+    predictions; raise voxel_capacity_divisor / pencil_divisor caps)."""
+    dp = int(res.get("dropped_points", 0) or 0)
+    dv = int(res.get("dropped_voxels", 0) or 0)
+    if dp or dv:
+        logger.warning(
+            "%s overflowed static caps: %d points and %d voxels dropped — "
+            "lower the capacity divisors for this workload", what, dp, dv,
+        )
 
 
 def raster_assignments(
