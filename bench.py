@@ -17,13 +17,15 @@ implies roughly that forward+backward rate; spconv single-GPU forward rates
 on 0.02 m voxel clouds are the same order). ``vs_baseline`` = ours / 1e6.
 """
 
+import argparse
 import json
 import time
+from functools import partial
 
 import numpy as np
 
 
-def main():
+def main(n_devices: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -64,12 +66,16 @@ def main():
         dim_feat=4,
         voxel_size=0.02,
         batch_size=b,
-        # dense clouds dedupe heavily (measured ~187k voxels / ~36k bricks
-        # for this 1.05M-point batch); bound the static arrays accordingly.
-        # Engine comparison on this workload (v5e-1): gather 1.51M pts/s,
-        # brick 1.07M pts/s (XLA 3D conv at C=32 eats the halo win) —
-        # gather stays the default; see ROADMAP.md.
-        voxel_capacity_divisor=4,
+        # dense clouds dedupe heavily (measured 187,082 voxels / ~36k
+        # bricks for this 1.05M-point batch); bound the static arrays
+        # accordingly: divisor 5 keeps 12% headroom at L0 (cap 209,715)
+        # and the sparse engine's gather cost scales with the padded
+        # size (measured 1.67 -> 2.37M pts/s going 4 -> 5). Overflow is
+        # counted and asserted zero below. Engine comparison on this
+        # workload (v5e-1): gather 2.37M, pencil(cells=4) 1.92M, brick
+        # 1.07M pts/s (XLA 3D conv at C=32 eats the halo win) — gather
+        # stays the default; see ROADMAP.md.
+        voxel_capacity_divisor=5,
         engine="gather",
         # conv_dtype="bfloat16" measured equal end-to-end here (1.41 vs
         # 1.43M pts/s): on real surface data the sorted-order gathers are
@@ -80,16 +86,47 @@ def main():
     )
     variables = init(jax.random.key(0), coords, feats, batch_ids, valid)
 
-    @jax.jit
-    def forward(variables, coords, feats, batch_ids, valid):
+    def apply_fn(variables, coords, feats, batch_ids, valid):
         out = model.apply(variables, coords, feats, batch_ids, valid,
                           train=False)
         return out["offset_predictions"], out["semantic_prediction_logits"]
+
+    if n_devices > 1:
+        # data-parallel inference: whole trees shard over the mesh's data
+        # axis (B % n == 0 keeps each shard on tree boundaries); every
+        # chip runs the full sparse engine on its local trees, no
+        # cross-chip collectives in the forward.
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from treemorph_tpu.parallel import make_mesh
+
+        assert b % n_devices == 0, "trees per batch must divide devices"
+        mesh = make_mesh(n_devices)
+        axis = mesh.axis_names[0]
+        forward = jax.jit(
+            shard_map(
+                apply_fn,
+                mesh=mesh,
+                in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis)),
+            )
+        )
+    else:
+        forward = jax.jit(apply_fn)
 
     # compile + warmup; np.asarray forces a real device sync (axon's
     # block_until_ready proved unreliable for timing)
     out = forward(variables, coords, feats, batch_ids, valid)
     np.asarray(out[0])
+
+    # the tuned static caps above must not drop anything on this
+    # workload — a dropped voxel would make the speed number fiction
+    chk = jax.jit(
+        lambda v, c, f, bi, vl: model.apply(v, c, f, bi, vl, train=False)
+    )(variables, coords, feats, batch_ids, valid)
+    assert int(chk["dropped_points"]) == 0, int(chk["dropped_points"])
+    assert int(chk["dropped_voxels"]) == 0, int(chk["dropped_voxels"])
 
     # async-pipelined timing: dispatch all iterations, fetch one value at
     # the end. The executions run back-to-back on device (total time
@@ -123,6 +160,11 @@ def main():
     # identical cloud; see README pipeline table.
     qsm_seconds = _bench_qsm()
 
+    # measured machine-local stage-1 anchor (VERDICT r2 item 5): the
+    # reference PointNet2 is pure torch, so ITS code runs here (CPU) on
+    # the identical batch our PointNet2 processes on the TPU chip.
+    pn2 = _bench_pointnet2_anchor()
+
     print(
         json.dumps(
             {
@@ -138,6 +180,7 @@ def main():
                 ),
                 "qsm_fit_seconds_48k_points": round(qsm_seconds, 2),
                 "qsm_vs_reference_fit": round(4.1 / qsm_seconds, 2),
+                **(pn2 or {}),
             }
         )
     )
@@ -168,6 +211,81 @@ def _bench_qsm():
     t0 = time.perf_counter()
     fit_qsm(points, params=QSMParams(seed=0))
     return time.perf_counter() - t0
+
+
+def _bench_pointnet2_anchor():
+    """Reference PointNet2 (its own torch code, CPU) vs ours (TPU) on an
+    identical depth-5 batch — a fully measured, machine-local stage-1
+    ratio complementing the estimated GPU baseline. Returns a dict of
+    bench keys, or None if the reference tree is unavailable."""
+    import sys
+    import types
+
+    try:
+        import torch
+
+        if "fastprogress" not in sys.modules:
+            fp = types.ModuleType("fastprogress")
+            fp.progress_bar = lambda it, parent=None: it
+            fp.master_bar = lambda it: it
+            sys.modules["fastprogress"] = fp
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from Modules.PointNet2.PointNet2 import PointNet2 as RefPN2
+    except Exception:
+        return None
+
+    import jax
+    import jax.numpy as jnp
+
+    from treemorph_tpu.models import PointNet2
+
+    b, n = 2, 2048
+    rng = np.random.default_rng(7)
+    coords = rng.normal(size=(b, n, 3)).astype(np.float32)
+    feats = rng.normal(size=(b, n, 4)).astype(np.float32)
+
+    torch.manual_seed(0)
+    ref = RefPN2(depth=5, dim_feat=4, use_coords=True, use_features=True)
+    ref.eval()
+    tc = torch.tensor(coords).permute(0, 2, 1)
+    tf = torch.tensor(feats).permute(0, 2, 1)
+
+    def ref_forward():
+        with torch.no_grad():
+            bb = ref.forward_backbone.__wrapped__(ref, coords=tc, feats=tf)
+            return ref.offset_linear(bb)
+
+    ref_forward()  # warmup
+    iters_ref = 3
+    t0 = time.perf_counter()
+    for _ in range(iters_ref):
+        ref_forward()
+    ref_pps = b * n * iters_ref / (time.perf_counter() - t0)
+
+    ours = PointNet2(depth=5, dim_feat=4, use_coords=True,
+                     use_features=True)
+    cj, fj = jnp.asarray(coords), jnp.asarray(feats)
+    vj = jnp.ones((b, n), bool)
+    variables = jax.jit(
+        lambda r, c, f, v: ours.init(r, c, f, v, train=False)
+    )(jax.random.key(0), cj, fj, vj)
+    fwd = jax.jit(
+        lambda p, c, f, v: ours.apply(p, c, f, v, train=False)[
+            "offset_predictions"
+        ]
+    )
+    np.asarray(fwd(variables, cj, fj, vj))
+    iters = 10
+    dt = min(
+        _time_trial(fwd, iters, variables, cj, fj, vj) for _ in range(3)
+    )
+    our_pps = b * n * iters / dt
+    return {
+        "pointnet2_points_per_sec": round(our_pps, 1),
+        "pointnet2_reference_cpu_points_per_sec": round(ref_pps, 1),
+        "pointnet2_vs_reference_measured": round(our_pps / ref_pps, 2),
+    }
 
 
 def _bench_ptv3(coords, feats, batch_ids, valid, b, n):
@@ -203,4 +321,10 @@ def _bench_ptv3(coords, feats, batch_ids, valid, b, n):
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--n_devices", type=int, default=1,
+        help="shard the TreeLearn inference batch over this many devices "
+        "(tree-granular data parallelism); 1 = single chip (default)",
+    )
+    main(n_devices=ap.parse_args().n_devices)

@@ -63,10 +63,10 @@ def main():
         ds = build_downsample(vc, vv, max(m // 2, 256))
         vc, vv = ds.coarse_coords, ds.coarse_valid
 
-    def bench(engine, **kw):
+    def bench(engine, vdiv=5, **kw):
         model = TreeLearn(
             channels=32, num_blocks=3, dim_feat=4, voxel_size=0.02,
-            batch_size=b, voxel_capacity_divisor=4, engine=engine, **kw,
+            batch_size=b, voxel_capacity_divisor=vdiv, engine=engine, **kw,
         )
         variables = jax.jit(
             lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)
@@ -96,12 +96,12 @@ def main():
               f"ms/fwd)", flush=True)
         return ref
 
-    ref = bench("gather")
-    for div in (2, 3):
-        got = bench("pencil", pencil_divisor=div)
-        err = np.abs(got - ref).max()
-        print(f"  pencil(div={div}) vs gather max|diff| = {err:.2e}",
-              flush=True)
+    ref = bench("gather", vdiv=4)
+    bench("gather", vdiv=5)
+    got = bench("pencil", pencil_divisor=4)
+    err = np.abs(got - ref).max()
+    print(f"  pencil(div=4,cells=4) vs gather max|diff| = {err:.2e}",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -85,8 +85,9 @@ class TestStructure:
 
 
 class TestPencilConv:
-    @pytest.mark.parametrize("cin,cout", [(8, 8), (8, 16)])
-    def test_matches_gather_engine(self, rng, cin, cout):
+    @pytest.mark.parametrize("cin,cout,cells", [(8, 8, 4), (8, 16, 4),
+                                                (8, 8, 16), (8, 8, 2)])
+    def test_matches_gather_engine(self, rng, cin, cout, cells):
         coords, valid = lex_sorted_voxels(rng)
         cj, vj = jnp.asarray(coords), jnp.asarray(valid)
         feats = rng.normal(size=(len(coords), cin)).astype(np.float32)
@@ -97,7 +98,8 @@ class TestPencilConv:
             subm_conv_apply(jnp.asarray(feats), jnp.asarray(w), rb, vj)
         )
 
-        ps = build_pencils(cj, vj, cap=480, verify_coords=True)
+        ps = build_pencils(cj, vj, cap=480, cells=cells,
+                           verify_coords=True)
         core = to_pencil(jnp.asarray(feats) * vj[:, None], ps)
         out = pencil_conv_apply(core, jnp.asarray(w), ps)
         got = np.asarray(from_pencil(out, ps)) * valid[:, None]

@@ -32,7 +32,6 @@ from ..ops.bricks import (
     to_dense,
 )
 from ..ops.pencil import (
-    CELLS as CELLS_P,
     PencilStructure,
     build_pencils,
     from_pencil,
@@ -161,7 +160,7 @@ class PencilCoreConv(nn.Module):
 
     @nn.compact
     def __call__(self, core, ps: PencilStructure):
-        cin = core.shape[1] // CELLS_P
+        cin = core.shape[1] // ps.cell_active.shape[1]
         w = self.param("kernel", _KERNEL_INIT, (27, cin, self.out_channels))
         return pencil_conv_apply(
             core, w, ps, compute_dtype=jnp.dtype(self.conv_dtype)
@@ -198,7 +197,8 @@ class PencilResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, core, ps: PencilStructure, flat_mask, train: bool):
         cap1 = core.shape[0]
-        cin = core.shape[1] // CELLS_P
+        cells = ps.cell_active.shape[1]
+        cin = core.shape[1] // cells
         if cin == self.out_channels:
             identity = core
         else:
@@ -210,7 +210,7 @@ class PencilResidualBlock(nn.Module):
             ).reshape(cap1, -1)
 
         def bn_relu(x):
-            c = x.shape[1] // CELLS_P
+            c = x.shape[1] // cells
             flat = x.reshape(-1, c)
             flat = MaskedBatchNorm()(flat, flat_mask, train)
             return nn.relu(flat).reshape(cap1, -1)
@@ -303,6 +303,7 @@ class UBlock(nn.Module):
     engine: str = "gather"
     brick_divisor: int = 4
     pencil_divisor: int = 1
+    pencil_cells: int = 4
     conv_dtype: str = "float32"
     verify_coords: bool = False
 
@@ -314,7 +315,8 @@ class UBlock(nn.Module):
             m = coords.shape[0]
             cap = max(3 * m // self.pencil_divisor, 64)
             ps = build_pencils(
-                coords, valid, cap, verify_coords=self.verify_coords
+                coords, valid, cap, cells=self.pencil_cells,
+                verify_coords=self.verify_coords,
             )
             flat_mask = ps.cell_active.reshape(-1) > 0
             return ("pencil", ps, flat_mask), ps.overflow
@@ -401,6 +403,7 @@ class UBlock(nn.Module):
                 self.engine,
                 self.brick_divisor,
                 self.pencil_divisor,
+                self.pencil_cells,
                 self.conv_dtype,
                 self.verify_coords,
                 name="u",
@@ -467,6 +470,7 @@ class TreeLearnBackbone(nn.Module):
     engine: str = "gather"  # 'pencil' (fast), 'brick', or 'gather'
     brick_divisor: int = 4
     pencil_divisor: int = 1
+    pencil_cells: int = 4
     conv_dtype: str = "float32"  # bfloat16: ~5x faster convs, f32 accum
     verify_coords: bool = False  # exact (collision-proof) hash lookups
 
@@ -493,7 +497,8 @@ class TreeLearnBackbone(nn.Module):
             m = v_coords.shape[0]
             pcap = max(3 * m // self.pencil_divisor, 64)
             ps = build_pencils(
-                v_coords, v_valid, pcap, verify_coords=self.verify_coords
+                v_coords, v_valid, pcap, cells=self.pencil_cells,
+                verify_coords=self.verify_coords,
             )
             x = PencilSubMConv(
                 self.channels, self.conv_dtype, name="input_conv"
@@ -525,6 +530,7 @@ class TreeLearnBackbone(nn.Module):
             engine=self.engine,
             brick_divisor=self.brick_divisor,
             pencil_divisor=self.pencil_divisor,
+            pencil_cells=self.pencil_cells,
             conv_dtype=self.conv_dtype,
             verify_coords=self.verify_coords,
             name="unet",
@@ -566,6 +572,7 @@ class TreeLearn(nn.Module):
     engine: str = "gather"  # 'pencil' (fast), 'brick', or 'gather'
     brick_divisor: int = 4
     pencil_divisor: int = 1
+    pencil_cells: int = 4
     conv_dtype: str = "float32"
     verify_coords: bool = False
 
@@ -594,6 +601,7 @@ class TreeLearn(nn.Module):
             engine=self.engine,
             brick_divisor=self.brick_divisor,
             pencil_divisor=self.pencil_divisor,
+            pencil_cells=self.pencil_cells,
             conv_dtype=self.conv_dtype,
             verify_coords=self.verify_coords,
             name="backbone",

@@ -6,9 +6,9 @@ replacing spconv ``SubMConv3d``; reference
 around the measured TPU gather cost law: random HBM gathers cost ~flat
 per ROW up to ~2 KB rows, so fetching one voxel (128 B at C=32) per
 gather wastes ~16x of the row budget. This engine stores voxels as
-**z-pencils** — groups of ``CELLS=16`` consecutive-z voxels of one
-(b, x, y) column packed into a single ``16*C`` row — so each gather row
-carries up to 16 voxels, and a 3x3x3 submanifold conv needs only the
+**z-pencils** — groups of ``cells`` (default 4) consecutive-z voxels of
+one (b, x, y) column packed into a single ``cells*C`` row — so each
+gather row carries several voxels, and a 3x3x3 submanifold conv needs only the
 **9 xy-neighbor pencils** per output pencil instead of 27 voxel
 neighbors per voxel:
 
@@ -44,10 +44,17 @@ import jax.numpy as jnp
 
 from .sparse import build_table, lookup
 
-CELLS = 16  # voxels per pencil (z-extent); E = CELLS * C floats per row
-LOG_CELLS = 4
-BLOCK = 4  # out-cells per banded matmul block
-N_BLOCKS = CELLS // BLOCK
+# Default voxels per pencil (z-extent); E = cells * C floats per row.
+# cells=4 measured fastest on 2 cm tree-surface levels (mean z-run 2.8
+# voxels): the ~512-768 B gather rows sit at the knee of the measured
+# row-rate/bandwidth law; cells=16 wins only on strongly columnar or
+# dense volumetric clouds. Must be a power of two.
+CELLS = 4
+_MAX_BLOCK = 4  # out-cells per banded matmul block
+
+
+def _block_of(cells: int) -> int:
+    return min(_MAX_BLOCK, cells)
 
 
 class PencilStructure(NamedTuple):
@@ -59,7 +66,7 @@ class PencilStructure(NamedTuple):
 
     keys: jax.Array  # (P+1, 4) int32 (b, x, y, t); dump row sentinel
     row_valid: jax.Array  # (P+1,) bool; dump row False
-    slot: jax.Array  # (M,) int32 voxel -> row*CELLS + cell; dump slot P*CELLS
+    slot: jax.Array  # (M,) int32 voxel -> row*cells + cell; dump slot P*cells
     cell_active: jax.Array  # (P+1, CELLS) float32 1.0 at active cells
     has_prev: jax.Array  # (P+1,) bool: row-1 is this pencil's z-1 sibling
     has_next: jax.Array  # (P+1,) bool
@@ -68,11 +75,12 @@ class PencilStructure(NamedTuple):
     overflow: jax.Array  # () int32: voxels dropped by the static cap
 
 
-@partial(jax.jit, static_argnames=("cap", "verify_coords"))
+@partial(jax.jit, static_argnames=("cap", "cells", "verify_coords"))
 def build_pencils(
     coords: jax.Array,
     valid: jax.Array,
     cap: int,
+    cells: int = CELLS,
     verify_coords: bool = False,
 ) -> PencilStructure:
     """Group a lex-sorted voxel level into z-pencils, closed under GHOSTS.
@@ -97,10 +105,11 @@ def build_pencils(
     """
     from .sparse import dedup_sort_perm
 
+    assert cells & (cells - 1) == 0, "cells must be a power of two"
     m = coords.shape[0]
     b, z = coords[:, 0], coords[:, 3]
-    t = z >> LOG_CELLS
-    cell = z & (CELLS - 1)
+    t = z >> (cells.bit_length() - 1)
+    cell = z & (cells - 1)
     pkey = jnp.stack([b, coords[:, 1], coords[:, 2], t], axis=1)  # (M, 4)
 
     # candidates: every voxel's own pencil key plus its t-1 / t+1 ghost
@@ -129,7 +138,7 @@ def build_pencils(
     row = g_of_cand[:m]  # voxel -> pencil row
     in_cap = valid & (row < cap)
     overflow = jnp.sum(valid & ~in_cap).astype(jnp.int32)
-    slot = jnp.where(in_cap, row * CELLS + cell, cap * CELLS)
+    slot = jnp.where(in_cap, row * cells + cell, cap * cells)
 
     scatter_g = jnp.where(s_valid, jnp.minimum(s_gid, cap), cap)
     keys = jnp.full((cap + 1, 4), -1, jnp.int32).at[scatter_g].set(s_key)
@@ -138,10 +147,10 @@ def build_pencils(
     # no real/ghost flag is needed downstream.
 
     cell_active = (
-        jnp.zeros(((cap + 1) * CELLS,), jnp.float32)
+        jnp.zeros(((cap + 1) * cells,), jnp.float32)
         .at[slot]
         .set(valid.astype(jnp.float32))
-        .reshape(cap + 1, CELLS)
+        .reshape(cap + 1, cells)
         .at[cap]
         .set(0.0)
     )
@@ -186,14 +195,14 @@ def build_pencils(
 
 
 def to_pencil(feats: jax.Array, ps: PencilStructure) -> jax.Array:
-    """(M, C) voxel features -> (P+1, CELLS*C) pencil core (dump row zero)."""
+    """(M, C) voxel features -> (P+1, cells*C) pencil core (dump row zero)."""
     c = feats.shape[-1]
-    cap1 = ps.keys.shape[0]
+    cap1, cells = ps.cell_active.shape
     flat = (
-        jnp.zeros((cap1 * CELLS, c), feats.dtype)
+        jnp.zeros((cap1 * cells, c), feats.dtype)
         .at[ps.slot]
         .set(feats)
-        .reshape(cap1, CELLS * c)
+        .reshape(cap1, cells * c)
         .at[-1]
         .set(0.0)  # overflow voxels land in the dump row; keep it zero
     )
@@ -201,20 +210,20 @@ def to_pencil(feats: jax.Array, ps: PencilStructure) -> jax.Array:
 
 
 def from_pencil(core: jax.Array, ps: PencilStructure) -> jax.Array:
-    """(P+1, CELLS*C) pencil core -> (M, C) voxel features."""
-    cap1 = core.shape[0]
-    c = core.shape[1] // CELLS
-    return core.reshape(cap1 * CELLS, c)[ps.slot]
+    """(P+1, cells*C) pencil core -> (M, C) voxel features."""
+    cap1, cells = ps.cell_active.shape
+    c = core.shape[1] // cells
+    return core.reshape(cap1 * cells, c)[ps.slot]
 
 
 def extend_rows(
-    core: jax.Array, has_prev: jax.Array, has_next: jax.Array
+    core: jax.Array, has_prev: jax.Array, has_next: jax.Array, cells: int
 ) -> jax.Array:
     """(P+1, E) -> (P+1, E+2C): prepend the z-1 sibling's last cell and
     append the z+1 sibling's first cell. Siblings are adjacent rows in the
     lex sort, so this is two shifts — no gather."""
     e = core.shape[1]
-    c = e // CELLS
+    c = e // cells
     last = core[:, e - c :]
     first = core[:, :c]
     prev_last = jnp.concatenate(
@@ -226,130 +235,134 @@ def extend_rows(
     return jnp.concatenate([prev_last, core, next_first], axis=1)
 
 
-def banded_weights(weights: jax.Array) -> jax.Array:
+def banded_weights(weights: jax.Array, cells: int = CELLS) -> jax.Array:
     """(27, Cin, Cout) kernel (``sparse.kernel_offsets(3)`` order: dx
-    slowest, dz fastest) -> (9, (BLOCK+2)*Cin, BLOCK*Cout) banded
+    slowest, dz fastest) -> (9, (block+2)*Cin, block*Cout) banded
     block-Toeplitz matrices, one per xy offset.
 
     Band j row-block r, col-block u holds W[(j, dz=r-u)] when
     0 <= r-u < 3: the gathered window cells [4k-1, 4k+5) hit out cells
     [4k, 4k+4) at z-offset (r-u) - 1. Identical for every k (Toeplitz),
-    so one matrix per xy offset serves all N_BLOCKS matmuls.
+    so one matrix per xy offset serves all cells//block matmuls.
     """
     k, cin, cout = weights.shape
     assert k == 27, "pencil engine covers 3x3x3 kernels"
+    block = _block_of(cells)
     w9 = weights.reshape(9, 3, cin, cout)
     rows = []
-    for r in range(BLOCK + 2):
+    for r in range(block + 2):
         cols = []
-        for u in range(BLOCK):
+        for u in range(block):
             dz = r - u
             if 0 <= dz < 3:
                 cols.append(w9[:, dz])
             else:
                 cols.append(jnp.zeros((9, cin, cout), weights.dtype))
         rows.append(jnp.concatenate(cols, axis=2))
-    return jnp.concatenate(rows, axis=1)  # (9, (BLOCK+2)Cin, BLOCK*Cout)
+    return jnp.concatenate(rows, axis=1)  # (9, (block+2)Cin, block*Cout)
 
 
 def pencil_conv_apply(
-    core: jax.Array,  # (P+1, CELLS*Cin)
+    core: jax.Array,  # (P+1, cells*Cin)
     weights: jax.Array,  # (27, Cin, Cout)
     ps: PencilStructure,
     compute_dtype=None,
 ) -> jax.Array:
-    """Submanifold 3x3x3 conv on the pencil layout -> (P+1, CELLS*Cout).
+    """Submanifold 3x3x3 conv on the pencil layout -> (P+1, cells*Cout).
 
     Masks inputs AND outputs by ``cell_active`` (submanifold semantics:
     empty cells contribute nothing and receive nothing).
     """
-    cin = core.shape[1] // CELLS
+    cells = ps.cell_active.shape[1]
+    cin = core.shape[1] // cells
     dtype = jnp.dtype(compute_dtype or core.dtype)
     act = ps.cell_active
     masked = (core.reshape(*act.shape, cin) * act[..., None]).reshape(
         core.shape
     )
-    banded = banded_weights(weights)
+    banded = banded_weights(weights, cells)
     out = _pencil_conv(
-        dtype, masked, banded, ps.rulebook, ps.has_prev, ps.has_next,
-        ps.row_valid,
+        dtype, cells, masked, banded, ps.rulebook, ps.has_prev,
+        ps.has_next, ps.row_valid,
     )
-    cout = banded.shape[-1] // BLOCK
+    cout = banded.shape[-1] // _block_of(cells)
     return (out.reshape(*act.shape, cout) * act[..., None]).reshape(
         out.shape[0], -1
     )
 
 
-def _pencil_conv_impl(dtype, core, banded, rulebook, has_prev, has_next,
-                      row_valid):
+def _pencil_conv_impl(dtype, cells, core, banded, rulebook, has_prev,
+                      has_next, row_valid):
     p1 = core.shape[0]
-    cin = core.shape[1] // CELLS
-    cout = banded.shape[-1] // BLOCK
-    ext = extend_rows(core, has_prev, has_next).astype(dtype)
+    block = _block_of(cells)
+    cin = core.shape[1] // cells
+    cout = banded.shape[-1] // block
+    ext = extend_rows(core, has_prev, has_next, cells).astype(dtype)
     bd = banded.astype(dtype)
-    out = jnp.zeros((p1, CELLS * cout), jnp.float32)
+    out = jnp.zeros((p1, cells * cout), jnp.float32)
     for j in range(9):
         win = ext[rulebook[:, j]]  # (P+1, E+2C); missing -> zero dump row
-        for k in range(N_BLOCKS):
-            s = win[:, k * BLOCK * cin : (k * BLOCK + BLOCK + 2) * cin]
-            out = out.at[:, k * BLOCK * cout : (k + 1) * BLOCK * cout].add(
+        for k in range(cells // block):
+            s = win[:, k * block * cin : (k * block + block + 2) * cin]
+            out = out.at[:, k * block * cout : (k + 1) * block * cout].add(
                 jnp.dot(s, bd[j], preferred_element_type=jnp.float32)
             )
     return out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _pencil_conv(dtype, core, banded, rulebook, has_prev, has_next,
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _pencil_conv(dtype, cells, core, banded, rulebook, has_prev, has_next,
                  row_valid):
     return _pencil_conv_impl(
-        dtype, core, banded, rulebook, has_prev, has_next, row_valid
+        dtype, cells, core, banded, rulebook, has_prev, has_next, row_valid
     )
 
 
-def _pencil_conv_fwd(dtype, core, banded, rulebook, has_prev, has_next,
-                     row_valid):
+def _pencil_conv_fwd(dtype, cells, core, banded, rulebook, has_prev,
+                     has_next, row_valid):
     out = _pencil_conv_impl(
-        dtype, core, banded, rulebook, has_prev, has_next, row_valid
+        dtype, cells, core, banded, rulebook, has_prev, has_next, row_valid
     )
     return out, (core, banded, rulebook, has_prev, has_next, row_valid)
 
 
-def _pencil_conv_bwd(dtype, res, g):
+def _pencil_conv_bwd(dtype, cells, res, g):
     core, banded, rulebook, has_prev, has_next, row_valid = res
     p1 = core.shape[0]
-    cin = core.shape[1] // CELLS
-    cout = banded.shape[-1] // BLOCK
-    ec = (CELLS + 2) * cin
+    block = _block_of(cells)
+    cin = core.shape[1] // cells
+    cout = banded.shape[-1] // block
+    ec = (cells + 2) * cin
     bd = banded.astype(dtype)
 
     # rows beyond num_pencils never produced real output; zero their
     # gradient so the mirrored gathers below see exact transposes
     g = (g * row_valid[:, None]).astype(dtype)
 
-    ext = extend_rows(core, has_prev, has_next).astype(dtype)
+    ext = extend_rows(core, has_prev, has_next, cells).astype(dtype)
     d_ext = jnp.zeros((p1, ec), jnp.float32)
     d_banded = jnp.zeros(banded.shape, jnp.float32)
     for j in range(9):
         # d input: gather grads through the MIRRORED xy offset — exact
         # transpose of the forward gather (rulebook antisymmetry), no
         # scatter. Missing neighbors hit the dump row whose grad is zero.
-        gj = g[rulebook[:, 8 - j]]  # (P+1, CELLS*Cout)
+        gj = g[rulebook[:, 8 - j]]  # (P+1, cells*Cout)
         win = ext[rulebook[:, j]]  # recompute forward gather for d_banded
-        for k in range(N_BLOCKS):
-            gblk = gj[:, k * BLOCK * cout : (k + 1) * BLOCK * cout]
-            lo = k * BLOCK * cin
-            d_ext = d_ext.at[:, lo : lo + (BLOCK + 2) * cin].add(
+        for k in range(cells // block):
+            gblk = gj[:, k * block * cout : (k + 1) * block * cout]
+            lo = k * block * cin
+            d_ext = d_ext.at[:, lo : lo + (block + 2) * cin].add(
                 jnp.dot(gblk, bd[j].T, preferred_element_type=jnp.float32)
             )
-            gfwd = g[:, k * BLOCK * cout : (k + 1) * BLOCK * cout]
-            s = win[:, lo : lo + (BLOCK + 2) * cin]
+            gfwd = g[:, k * block * cout : (k + 1) * block * cout]
+            s = win[:, lo : lo + (block + 2) * cin]
             d_banded = d_banded.at[j].add(
                 jnp.dot(s.T, gfwd, preferred_element_type=jnp.float32)
             )
 
     # transpose of extend_rows: un-shift the two boundary columns
     c = cin
-    e = CELLS * cin
+    e = cells * cin
     d_core = d_ext[:, c : c + e]
     up = d_ext[:, :c] * has_prev[:, None]  # grad of prev sibling's last
     d_core = d_core.at[:-1, e - c :].add(up[1:])
