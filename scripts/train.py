@@ -64,6 +64,9 @@ def parse_args():
                         "minibatch instead of accumulating gradients over "
                         "a tree batch (the reference accumulates; "
                         "train_utils.py:46-62)")
+    p.add_argument("--fixed_modules", type=str, nargs="+", default=None,
+                   help="freeze named top-level submodules for transfer "
+                   "learning (reference TreeLearn fixed_modules)")
     p.add_argument("--debug_nans", action="store_true",
                    help="fail at the first NaN-producing op")
     p.add_argument("--augment", action="store_true",
@@ -286,15 +289,20 @@ def main():
             args, example.batch_size
         )
         variables = init_fn(model, example, jax.random.key(args.seed))
-        tx = make_optimizer(args.weight_decay)
+        fixed = tuple(args.fixed_modules or ())
+        tx = make_optimizer(args.weight_decay, fixed_modules=fixed)
         state = create_train_state(variables, tx)
-        train_step = make_train_step(forward_fn, loss_fn, tx)
+        train_step = make_train_step(
+            forward_fn, loss_fn, tx, fixed_modules=fixed
+        )
         eval_step = make_eval_step(forward_fn, loss_fn)
         accum_steps = None
         if hierarchical and not args.per_minibatch_steps:
             from treemorph_tpu.train.harness import make_accum_steps
 
-            accum_steps = make_accum_steps(forward_fn, loss_fn, tx)
+            accum_steps = make_accum_steps(
+                forward_fn, loss_fn, tx, fixed_modules=fixed
+            )
 
         ckpt_path = os.path.join(args.save_dir, f"{name}_CV", f"P{plot}")
         metadata = {

@@ -93,6 +93,73 @@ class TestHarness:
         assert losses[-1] < losses[0]
         assert len(saved) >= 1  # checkpoint callback fired on improvement
 
+    def test_fixed_modules_freezing(self, rng):
+        # Parity with the reference's fixed_modules transfer-learning
+        # freeze (/root/reference/Modules/TreeLearn/TreeLearn.py:65-87):
+        # frozen submodule params and BN running stats stay bit-identical
+        # across optimizer steps while the rest trains.
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        class Two(nn.Module):
+            @nn.compact
+            def __call__(self, x, train):
+                x = nn.Sequential([nn.Dense(8)], name="backbone")(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train, name="backbone_bn"
+                )(x)
+                return nn.Dense(1, name="head")(x)
+
+        model = Two()
+        x = jnp.asarray(rng.normal(size=(16, 4)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(16, 1)), jnp.float32)
+        variables = model.init(jax.random.key(0), x, True)
+
+        fixed = ("backbone", "backbone_bn")
+        tx = make_optimizer(weight_decay=1e-2, fixed_modules=fixed)
+        state = create_train_state(variables, tx)
+
+        def forward_fn(params, batch_stats, batch, train, rng):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["x"], train, mutable=["batch_stats"],
+            )
+            return {"pred": out}, mut["batch_stats"]
+
+        def loss_fn(out, batch):
+            loss = jnp.mean((out["pred"] - batch["y"]) ** 2)
+            return loss, {}
+
+        step = make_train_step(forward_fn, loss_fn, tx, fixed_modules=fixed)
+        new_state = state
+        for _ in range(3):
+            new_state, _ = step(
+                new_state, {"x": x, "y": y}, 1e-2, jax.random.key(1)
+            )
+
+        for k in fixed:
+            if k in state.params:
+                for a, b in zip(
+                    jax.tree.leaves(state.params[k]),
+                    jax.tree.leaves(new_state.params[k]),
+                ):
+                    np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(b)
+                    )
+        for a, b in zip(
+            jax.tree.leaves(state.batch_stats["backbone_bn"]),
+            jax.tree.leaves(new_state.batch_stats["backbone_bn"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        head_changed = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(state.params["head"]),
+                jax.tree.leaves(new_state.params["head"]),
+            )
+        )
+        assert head_changed
+
     def test_checkpoint_roundtrip(self, tmp_path, rng):
         batch = _batch(rng, n_samples=2, n_points=100)
         model = PointNet2(depth=2)

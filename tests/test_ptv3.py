@@ -459,3 +459,158 @@ class TestPadPerElementTraining:
         ]
         assert all(np.isfinite(n) for n in norms)
         assert sum(norms) > 0  # gradients actually flow
+
+
+class TestRPE:
+    def test_rpe_flag_runs_and_changes_output(self, flat_batch):
+        # Parity flag for reference RPE (blocks.py:314-333): attention
+        # picks up a relative-position score bias; zero-init table means
+        # identical-at-init is NOT guaranteed (trunc-normal init), so we
+        # assert the flag runs, is differentiable, and masks padding.
+        model = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, enable_rpe=True, **TINY
+        )
+        variables = model.init(
+            jax.random.key(0),
+            flat_batch["coords"],
+            flat_batch["feats"],
+            flat_batch["batch_ids"],
+            flat_batch["mask_valid"],
+            False,
+        )
+        # the RPE table exists with the reference's geometry:
+        # pos_bnd = int((4K)^(1/3) * 2), table (3*(2*pos_bnd+1), H)
+        k = TINY["enc_patch_size"][0]
+        pos_bnd = int((4 * k) ** (1 / 3) * 2)
+        tables = [
+            p
+            for path, p in jax.tree_util.tree_flatten_with_path(
+                variables["params"]
+            )[0]
+            if "rpe_table" in str(path)
+        ]
+        assert tables, "no rpe_table params created"
+        assert tables[0].shape[0] == 3 * (2 * pos_bnd + 1)
+
+        out = model.apply(
+            variables,
+            flat_batch["coords"],
+            flat_batch["feats"],
+            flat_batch["batch_ids"],
+            flat_batch["mask_valid"],
+            False,
+        )
+        off = np.asarray(out["offset_predictions"])
+        assert np.isfinite(off).all()
+        assert np.all(off[~np.asarray(flat_batch["mask_valid"])] == 0)
+
+    def test_rpe_gradients_flow_to_table(self, flat_batch):
+        model = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, enable_rpe=True, **TINY
+        )
+        variables = model.init(
+            jax.random.key(0),
+            flat_batch["coords"],
+            flat_batch["feats"],
+            flat_batch["batch_ids"],
+            flat_batch["mask_valid"],
+            False,
+        )
+
+        def loss(params):
+            out = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                flat_batch["coords"],
+                flat_batch["feats"],
+                flat_batch["batch_ids"],
+                flat_batch["mask_valid"],
+                False,
+            )
+            return jnp.sum(out["offset_predictions"] ** 2)
+
+        grads = jax.grad(loss)(variables["params"])
+        g = [
+            np.abs(np.asarray(p)).sum()
+            for path, p in jax.tree_util.tree_flatten_with_path(grads)[0]
+            if "rpe_table" in str(path)
+        ]
+        assert g and sum(g) > 0
+
+
+class TestPDNorm:
+    def test_decoupled_conditions_select_distinct_params(self, rng):
+        from treemorph_tpu.models.ptv3 import PDNorm
+
+        x = jnp.asarray(rng.normal(size=(32, 8)), jnp.float32)
+        valid = jnp.ones(32, bool)
+        m = PDNorm(8, kind="ln", conditions=("a", "b"), decouple=True)
+        variables = m.init(jax.random.key(0), x, valid, False, 0)
+        # both condition branches materialized at init
+        assert set(variables["params"]) == {"norm0", "norm1"}
+        y0 = m.apply(variables, x, valid, False, 0)
+        # perturb condition-1 params only: condition 0 output unchanged
+        import flax
+
+        p = flax.core.unfreeze(variables["params"])
+        p["norm1"]["scale"] = p["norm1"]["scale"] + 5.0
+        y0b = PDNorm(8, kind="ln", conditions=("a", "b")).apply(
+            {"params": p}, x, valid, False, 0
+        )
+        y1 = PDNorm(8, kind="ln", conditions=("a", "b")).apply(
+            {"params": p}, x, valid, False, 1
+        )
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y0b))
+        assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+    def test_adaptive_modulation_matches_formula(self, rng):
+        from treemorph_tpu.models.ptv3 import PDNorm
+
+        x = jnp.asarray(rng.normal(size=(16, 4)), jnp.float32)
+        ctx = jnp.asarray(rng.normal(size=(16, 6)), jnp.float32)
+        valid = jnp.ones(16, bool)
+        m = PDNorm(
+            4, kind="ln", decouple=False, adaptive=True, context_channels=6
+        )
+        variables = m.init(jax.random.key(0), x, valid, False, 0, ctx)
+        y = m.apply(variables, x, valid, False, 0, ctx)
+        # reference formula (blocks.py:308-310):
+        # norm(x) * (1 + scale) + shift, (shift, scale) = Linear(SiLU(ctx))
+        base = nn_ln = None
+        import flax.linen as fnn
+
+        nn_ln = fnn.LayerNorm().apply(
+            {"params": variables["params"]["norm"]}, x
+        )
+        w = variables["params"]["modulation"]["kernel"]
+        b = variables["params"]["modulation"]["bias"]
+        mod = np.asarray(jax.nn.silu(ctx) @ w + b)
+        shift, scale = mod[:, :4], mod[:, 4:]
+        expect = np.asarray(nn_ln) * (1.0 + scale) + shift
+        np.testing.assert_allclose(np.asarray(y), expect, atol=1e-5)
+
+    def test_backbone_runs_with_pdnorm(self, flat_batch):
+        from treemorph_tpu.models.ptv3 import PDNormSpec
+
+        spec = PDNormSpec(bn=True, ln=True, conditions=("TreeSet", "Other"))
+        model = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, pdnorm=spec, **TINY
+        )
+        variables = model.init(
+            jax.random.key(0),
+            flat_batch["coords"],
+            flat_batch["feats"],
+            flat_batch["batch_ids"],
+            flat_batch["mask_valid"],
+            False,
+        )
+        out = model.apply(
+            variables,
+            flat_batch["coords"],
+            flat_batch["feats"],
+            flat_batch["batch_ids"],
+            flat_batch["mask_valid"],
+            False,
+            condition=1,
+        )
+        assert np.isfinite(np.asarray(out["offset_predictions"])).all()

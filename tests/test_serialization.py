@@ -2,6 +2,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from treemorph_tpu.ops.serialization import (
+    ORDERS,
+    decode,
     encode,
     hilbert_decode_np,
     hilbert_encode,
@@ -91,6 +93,26 @@ class TestEncodeDispatch:
         np.testing.assert_array_equal(
             perm[np.asarray(inverse)], np.arange(200)
         )
+
+    def test_decode_roundtrips_every_order(self, rng):
+        # Parity surface of reference serialization/default.py:26-38: the
+        # dispatch-level decode inverts encode for all four curve orders,
+        # including the x/y un-swap of the -trans variants.
+        grid = rng.integers(0, 2**10, size=(200, 3))
+        batch = rng.integers(0, 3, size=200)
+        for order in ORDERS:
+            b, hi, lo = encode(
+                jnp.asarray(grid, jnp.int32),
+                jnp.asarray(batch, jnp.int32),
+                depth=10,
+                order=order,
+            )
+            dec_grid, dec_batch = decode(
+                np.asarray(b), np.asarray(hi), np.asarray(lo),
+                depth=10, order=order,
+            )
+            np.testing.assert_array_equal(dec_grid, grid)
+            np.testing.assert_array_equal(dec_batch, batch)
 
     def test_order_matches_packed_int64_reference_semantics(self, rng):
         # Independently pack batch<<3*depth | z-code into int64 on host and

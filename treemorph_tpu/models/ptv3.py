@@ -129,6 +129,97 @@ def make_pointset(
     )
 
 
+class PDNormSpec(NamedTuple):
+    """Config for Point-Prompt-Training conditional norms (reference
+    ``PDNorm``, blocks.py:272-311; the ``pdnorm_*`` constructor flags of
+    PointTransformerV3.py:288-330 — unused by the reference's defaults)."""
+
+    bn: bool = False  # wrap stem/pool/unpool BatchNorms
+    ln: bool = False  # wrap block/CPE LayerNorms
+    conditions: tuple = ("ScanNet", "S3DIS", "Structured3D")
+    decouple: bool = True  # separate norm params per condition
+    adaptive: bool = False  # SiLU+Linear context modulation
+    context_channels: int = 256
+
+
+class PDNorm(nn.Module):
+    """Conditional norm: per-condition decoupled norm selection plus
+    optional adaptive scale/shift from a context vector (reference
+    blocks.py:272-311).
+
+    ``condition`` is a STATIC int index into ``conditions`` (the
+    reference dispatches on a per-batch string). With ``decouple`` every
+    condition's branch is materialized at init so checkpoints are
+    condition-complete; only the selected branch runs (and, for BN,
+    updates running stats) afterwards.
+    """
+
+    num_features: int
+    kind: str = "bn"  # 'bn' (MaskedBatchNorm) or 'ln' (LayerNorm)
+    conditions: tuple = ("ScanNet", "S3DIS", "Structured3D")
+    decouple: bool = True
+    adaptive: bool = False
+    context_channels: int = 256
+
+    def _norm(self, name):
+        if self.kind == "bn":
+            return MaskedBatchNorm(momentum=0.99, epsilon=1e-3, name=name)
+        return nn.LayerNorm(name=name)
+
+    def _run(self, norm, x, valid, train):
+        if self.kind == "bn":
+            return norm(x, valid, train)
+        return norm(x)
+
+    @nn.compact
+    def __call__(self, x, valid, train, condition: int = 0, context=None):
+        if self.decouple:
+            assert 0 <= condition < len(self.conditions)
+            norms = [
+                self._norm(f"norm{i}") for i in range(len(self.conditions))
+            ]
+            if self.is_initializing():
+                outs = [self._run(n, x, valid, train) for n in norms]
+                y = outs[condition]
+            else:
+                y = self._run(norms[condition], x, valid, train)
+        else:
+            y = self._run(self._norm("norm"), x, valid, train)
+        if self.adaptive:
+            assert context is not None, "adaptive PDNorm needs a context"
+            mod = nn.Dense(2 * self.num_features, name="modulation")(
+                nn.silu(context)
+            )
+            shift, scale = jnp.split(mod, 2, axis=-1)
+            y = y * (1.0 + scale) + shift
+            if valid is not None:
+                y = y * valid[:, None]
+        return y
+
+
+def _norm_bn(pdnorm, nc, name, x, valid, train, cond):
+    """Stem/pool BatchNorm, PDNorm-wrapped when ``pdnorm.bn`` is set.
+    ``cond`` = (condition index, context array or None)."""
+    if pdnorm is not None and pdnorm.bn:
+        return PDNorm(
+            nc, "bn", pdnorm.conditions, pdnorm.decouple,
+            pdnorm.adaptive, pdnorm.context_channels, name=name,
+        )(x, valid, train, cond[0], cond[1])
+    return MaskedBatchNorm(momentum=0.99, epsilon=1e-3, name=name)(
+        x, valid, train
+    )
+
+
+def _norm_ln(pdnorm, nc, name, x, valid, train, cond):
+    """Block/CPE LayerNorm, PDNorm-wrapped when ``pdnorm.ln`` is set."""
+    if pdnorm is not None and pdnorm.ln:
+        return PDNorm(
+            nc, "ln", pdnorm.conditions, pdnorm.decouple,
+            pdnorm.adaptive, pdnorm.context_channels, name=name,
+        )(x, valid, train, cond[0], cond[1])
+    return nn.LayerNorm(name=name)(x)
+
+
 class DropPath(nn.Module):
     """Per-row stochastic depth (timm DropPath semantics on (P, C))."""
 
@@ -233,6 +324,11 @@ class SerializedAttention(nn.Module):
     qkv_bias: bool = True
     pad_per_element: bool = False
     num_elements: int | None = None
+    #: contextual relative positional encoding (reference RPE,
+    #: blocks.py:314-333; off in the reference's own defaults). Routes
+    #: attention through the einsum path — the Pallas kernel takes no
+    #: score bias.
+    enable_rpe: bool = False
 
     @nn.compact
     def __call__(self, ps: PointSet, train: bool):
@@ -272,7 +368,30 @@ class SerializedAttention(nn.Module):
 
         # Pallas flash-window kernel on TPU (scores stay in VMEM); the
         # einsum reference path elsewhere (CPU tests) — identical math.
-        if jax.default_backend() == "tpu":
+        if self.enable_rpe:
+            from ..ops.attention import window_attention_reference
+
+            grid_sorted = ps.grid_coord[order]
+            if self.pad_per_element:
+                grid_sorted = grid_sorted[pad_src]
+            gw = grid_sorted.reshape(p_eff // k, k, 3)
+            rel = gw[:, :, None, :] - gw[:, None, :, :]  # (W, K, K, 3)
+            # reference RPE table geometry (blocks.py:318-321)
+            pos_bnd = int((4 * k) ** (1 / 3) * 2)
+            rpe_num = 2 * pos_bnd + 1
+            table = self.param(
+                "rpe_table",
+                nn.initializers.truncated_normal(0.02),
+                (3 * rpe_num, h),
+            )
+            idx = (
+                jnp.clip(rel, -pos_bnd, pos_bnd)
+                + pos_bnd
+                + jnp.arange(3, dtype=jnp.int32) * rpe_num
+            )
+            bias = jnp.moveaxis(table[idx].sum(3), 3, 1)  # (W, H, K, K)
+            out = window_attention_reference(q, kk, v, seg, bias=bias)
+        elif jax.default_backend() == "tpu":
             from ..ops.attention import window_attention
 
             out = window_attention(q, kk, v, seg)
@@ -306,9 +425,10 @@ class CPE(nn.Module):
     (reference Block.cpe, blocks.py:562-572)."""
 
     channels: int
+    pdnorm: PDNormSpec | None = None
 
     @nn.compact
-    def __call__(self, feat, rulebook, valid):
+    def __call__(self, feat, rulebook, valid, train=False, cond=(0, None)):
         k = rulebook.shape[1]
         w = self.param(
             "kernel",
@@ -318,7 +438,9 @@ class CPE(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.channels,))
         x = subm_conv_apply(feat, w, rulebook, valid) + b * valid[:, None]
         x = nn.Dense(self.channels)(x)
-        return nn.LayerNorm()(x)
+        return _norm_ln(
+            self.pdnorm, self.channels, "LayerNorm_0", x, valid, train, cond
+        )
 
 
 class PTv3Block(nn.Module):
@@ -332,16 +454,22 @@ class PTv3Block(nn.Module):
     drop_path: float = 0.0
     pad_per_element: bool = False
     num_elements: int | None = None
+    enable_rpe: bool = False
+    pdnorm: PDNormSpec | None = None
 
     @nn.compact
-    def __call__(self, ps: PointSet, rulebook, train: bool):
+    def __call__(
+        self, ps: PointSet, rulebook, train: bool, cond=(0, None)
+    ):
         feat = ps.feat
-        feat = feat + CPE(self.channels, name="cpe")(
-            feat, rulebook, ps.valid
+        feat = feat + CPE(self.channels, self.pdnorm, name="cpe")(
+            feat, rulebook, ps.valid, train, cond
         )
 
         shortcut = feat
-        x = nn.LayerNorm(name="norm1")(feat)
+        x = _norm_ln(
+            self.pdnorm, self.channels, "norm1", feat, ps.valid, train, cond
+        )
         x = SerializedAttention(
             self.channels,
             self.num_heads,
@@ -349,13 +477,16 @@ class PTv3Block(nn.Module):
             self.order_index,
             pad_per_element=self.pad_per_element,
             num_elements=self.num_elements,
+            enable_rpe=self.enable_rpe,
             name="attn",
         )(ps._replace(feat=x), train)
         x = DropPath(self.drop_path)(x, train)
         feat = shortcut + x
 
         shortcut = feat
-        x = nn.LayerNorm(name="norm2")(feat)
+        x = _norm_ln(
+            self.pdnorm, self.channels, "norm2", feat, ps.valid, train, cond
+        )
         x = FeedForward(self.channels, self.mlp_ratio, name="mlp")(x)
         x = DropPath(self.drop_path)(x, train)
         feat = shortcut + x
@@ -378,9 +509,12 @@ class SerializedPooling(nn.Module):
     depth: int = 16
     order_names: Sequence[str] = DEFAULT_ORDERS
     cap: int | None = None
+    pdnorm: PDNormSpec | None = None
 
     @nn.compact
-    def __call__(self, ps: PointSet, train: bool, shuffle_rng=None):
+    def __call__(
+        self, ps: PointSet, train: bool, shuffle_rng=None, cond=(0, None)
+    ):
         p = ps.feat.shape[0]
         cap = self.cap if self.cap is not None else p
         order0 = ps.orders[0]
@@ -448,8 +582,9 @@ class SerializedPooling(nn.Module):
         )[:cap]
         batch = jnp.where(coarse_valid, batch, INVALID_BATCH)
 
-        feat = MaskedBatchNorm(momentum=0.99, epsilon=1e-3, name="norm")(
-            feat, coarse_valid, train
+        feat = _norm_bn(
+            self.pdnorm, self.out_channels, "norm", feat, coarse_valid,
+            train, cond,
         )
         feat = nn.gelu(feat)
         feat = feat * coarse_valid[:, None]
@@ -504,6 +639,7 @@ class SerializedUnpooling(nn.Module):
     """Skip-join unpooling (reference blocks.py:732-767)."""
 
     out_channels: int
+    pdnorm: PDNormSpec | None = None
 
     @nn.compact
     def __call__(
@@ -513,19 +649,22 @@ class SerializedUnpooling(nn.Module):
         fine: PointSet,
         cluster,
         train: bool,
+        cond=(0, None),
     ):
         x = nn.Dense(self.out_channels, name="proj")(coarse_feat)
         # the coarse level is statically over-capped (pool_shrink), so an
         # all-ones mask here would fold the padded rows (pure Dense bias)
         # into the BatchNorm statistics
-        x = MaskedBatchNorm(momentum=0.99, epsilon=1e-3, name="norm")(
-            x, coarse_valid, train
+        x = _norm_bn(
+            self.pdnorm, self.out_channels, "norm", x, coarse_valid,
+            train, cond,
         )
         x = nn.gelu(x)
         skip = nn.Dense(self.out_channels, name="proj_skip")(fine.feat)
-        skip = MaskedBatchNorm(
-            momentum=0.99, epsilon=1e-3, name="norm_skip"
-        )(skip, fine.valid, train)
+        skip = _norm_bn(
+            self.pdnorm, self.out_channels, "norm_skip", skip, fine.valid,
+            train, cond,
+        )
         skip = nn.gelu(skip)
         cap = x.shape[0]
         up = x[jnp.clip(cluster, 0, cap - 1)] * (cluster < cap)[:, None]
@@ -537,9 +676,12 @@ class Embedding(nn.Module):
     """k=5 submanifold conv stem + BN + GELU (reference blocks.py:770-800)."""
 
     channels: int
+    pdnorm: PDNormSpec | None = None
 
     @nn.compact
-    def __call__(self, ps: PointSet, train: bool, table=None):
+    def __call__(
+        self, ps: PointSet, train: bool, table=None, cond=(0, None)
+    ):
         coords4 = jnp.concatenate(
             [ps.batch[:, None], ps.grid_coord], axis=1
         )
@@ -550,7 +692,10 @@ class Embedding(nn.Module):
             (125, ps.feat.shape[-1], self.channels),
         )
         x = subm_conv_apply(ps.feat, w, rulebook, ps.valid)
-        x = MaskedBatchNorm(momentum=0.99, epsilon=1e-3)(x, ps.valid, train)
+        x = _norm_bn(
+            self.pdnorm, self.channels, "MaskedBatchNorm_0", x, ps.valid,
+            train, cond,
+        )
         x = nn.gelu(x) * ps.valid[:, None]
         return ps._replace(feat=x)
 
@@ -575,6 +720,8 @@ class PointTransformerV3(nn.Module):
     shuffle_orders: bool = True
     pad_per_element: bool = False  # reference window partitioning
     num_elements: int | None = None  # static batch-element count
+    enable_rpe: bool = False  # RPE attention bias (reference blocks.py:314)
+    pdnorm: PDNormSpec | None = None  # conditional norms (blocks.py:272)
     #: static capacity shrink per pooled level. 2 is always lossless;
     #: surface clouds at pipeline densities coarsen ~4x per stride-2
     #: level, so 4 halves the padded size of every level below the first
@@ -592,7 +739,10 @@ class PointTransformerV3(nn.Module):
         valid,
         train: bool = False,
         shuffle_rng=None,
+        condition: int = 0,
+        context=None,
     ):
+        cond = (condition, context)
         num_stages = len(self.enc_depths)
         n_orders = len(self.order_names)
 
@@ -618,8 +768,8 @@ class PointTransformerV3(nn.Module):
             [ps.batch[:, None], ps.grid_coord], axis=1
         )
         table0 = build_table(coords4_0, ps.valid)
-        ps = Embedding(self.enc_channels[0], name="embedding")(
-            ps, train, table=table0
+        ps = Embedding(self.enc_channels[0], self.pdnorm, name="embedding")(
+            ps, train, table=table0, cond=cond
         )
 
         total_enc = sum(self.enc_depths)
@@ -650,8 +800,9 @@ class PointTransformerV3(nn.Module):
                     depth=self.depth,
                     order_names=self.order_names,
                     cap=cap,
+                    pdnorm=self.pdnorm,
                     name=f"enc{s}_down",
-                )(ps, train, shuffle_rng=rngs[s])
+                )(ps, train, shuffle_rng=rngs[s], cond=cond)
                 skips.append((ps, cluster, rulebook))
                 ps = coarse
             coords4 = jnp.concatenate(
@@ -670,8 +821,10 @@ class PointTransformerV3(nn.Module):
                     drop_path=enc_dp[dp_i],
                     pad_per_element=self.pad_per_element,
                     num_elements=self.num_elements,
+                    enable_rpe=self.enable_rpe,
+                    pdnorm=self.pdnorm,
                     name=f"enc{s}_block{i}",
-                )(ps, rulebook, train)
+                )(ps, rulebook, train, cond=cond)
                 dp_i += 1
 
         total_dec = sum(self.dec_depths)
@@ -682,8 +835,8 @@ class PointTransformerV3(nn.Module):
         for s in reversed(range(num_stages - 1)):
             fine, cluster, rulebook = skips.pop()
             ps = SerializedUnpooling(
-                self.dec_channels[s], name=f"dec{s}_up"
-            )(ps.feat, ps.valid, fine, cluster, train)
+                self.dec_channels[s], pdnorm=self.pdnorm, name=f"dec{s}_up"
+            )(ps.feat, ps.valid, fine, cluster, train, cond=cond)
             dp_slice = dec_dp[
                 sum(self.dec_depths[:s]) : sum(self.dec_depths[: s + 1])
             ][::-1]
@@ -697,8 +850,10 @@ class PointTransformerV3(nn.Module):
                     drop_path=dp_slice[i],
                     pad_per_element=self.pad_per_element,
                     num_elements=self.num_elements,
+                    enable_rpe=self.enable_rpe,
+                    pdnorm=self.pdnorm,
                     name=f"dec{s}_block{i}",
-                )(ps, rulebook, train)
+                )(ps, rulebook, train, cond=cond)
         return ps
 
 
@@ -719,6 +874,8 @@ class PointTransformerWithHeads(nn.Module):
     drop_path: float = 0.3
     pad_per_element: bool = False  # reference window partitioning
     num_elements: int | None = None
+    enable_rpe: bool = False
+    pdnorm: PDNormSpec | None = None
     pool_shrink: int = 2
 
     @nn.compact
@@ -730,6 +887,8 @@ class PointTransformerWithHeads(nn.Module):
         valid,  # (P,)
         train: bool = False,
         shuffle_rng=None,
+        condition: int = 0,
+        context=None,
     ) -> dict:
         if not self.use_feats:
             feats = jnp.ones_like(feats)
@@ -747,9 +906,12 @@ class PointTransformerWithHeads(nn.Module):
             grid_size=self.voxel_size,
             pad_per_element=self.pad_per_element,
             num_elements=self.num_elements,
+            enable_rpe=self.enable_rpe,
+            pdnorm=self.pdnorm,
             pool_shrink=self.pool_shrink,
             name="backbone",
-        )(coords, feats, batch_ids, valid, train, shuffle_rng)
+        )(coords, feats, batch_ids, valid, train, shuffle_rng,
+          condition, context)
 
         feat = ps.feat
         sem = MLPHead(2, name="semantic_head")(feat, valid, train)

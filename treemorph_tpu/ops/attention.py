@@ -256,8 +256,13 @@ def _window_attention_bwd(interpret, res, g):
 window_attention.defvjp(_window_attention_fwd, _window_attention_bwd)
 
 
-def window_attention_reference(q, k, v, seg):
-    """jnp reference implementation (for tests and CPU fallback)."""
+def window_attention_reference(q, k, v, seg, bias=None):
+    """jnp reference implementation (for tests and CPU fallback).
+
+    ``bias`` (W, H, K, K) is added to the scaled scores before the
+    softmax — the RPE path (reference blocks.py:485-486). The Pallas
+    kernel does not take a bias; RPE attention routes here.
+    """
     d = q.shape[-1]
     s = jnp.einsum(
         "whkd,whjd->whkj",
@@ -265,6 +270,8 @@ def window_attention_reference(q, k, v, seg):
         k.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
     ok = (
         (seg[:, None, :, None] == seg[:, None, None, :])
         & (seg >= 0)[:, None, :, None]

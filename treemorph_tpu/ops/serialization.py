@@ -191,6 +191,34 @@ def z_order_decode_np(
     return coords
 
 
+def decode(
+    batch: np.ndarray,
+    hi: np.ndarray,
+    lo: np.ndarray,
+    depth: int = 16,
+    order: str = "z",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Invert :func:`encode`: curve codes back to grid coordinates.
+
+    Parity with reference ``serialization/default.py:26-38`` (which strips
+    the packed batch bits then dispatches to the curve decoder); here the
+    batch id is already a separate key word, so it is returned unchanged.
+    Host-side numpy — decoding is a debug/test surface, never on the
+    device path. Transposed orders undo the x/y swap applied by
+    :func:`encode`.
+    """
+    assert order in ORDERS
+    hi = np.asarray(hi, np.uint32)
+    lo = np.asarray(lo, np.uint32)
+    if order.startswith("z"):
+        grid = z_order_decode_np(hi, lo, depth=depth)
+    else:
+        grid = hilbert_decode_np(hi, lo, depth=depth)
+    if order.endswith("-trans"):
+        grid = grid[:, [1, 0, 2]]
+    return grid, np.asarray(batch, np.int32)
+
+
 def hilbert_decode_np(
     hi: np.ndarray, lo: np.ndarray, depth: int = 16
 ) -> np.ndarray:

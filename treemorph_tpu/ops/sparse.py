@@ -326,8 +326,16 @@ def subm_conv_apply(
     the gradient w.r.t. ``feats`` is K *gathers* through the mirrored
     columns instead of the K serialized scatter-adds XLA would emit for a
     gather transpose — scatters are the dominant train-step cost on TPU.
+
+    ``rulebook`` may also be a :class:`ZPlan` (built by
+    :func:`build_zplan`), selecting the z-pack formulation — same weights
+    layout, ~3x fewer random HBM rows per conv.
     """
     dtype = jnp.dtype(compute_dtype or feats.dtype)
+    if isinstance(rulebook, ZPlan):
+        return subm_conv_zpack_apply(
+            feats, weights, rulebook, valid, compute_dtype=dtype
+        )
     return _subm_conv(dtype, feats, weights, rulebook, valid)
 
 
@@ -534,3 +542,257 @@ def inverse_conv_apply(
             gathered * sel, w[k], preferred_element_type=jnp.float32
         )
     return out * fine_valid[:, None]
+
+
+# ---------------------------------------------------------------------------
+# z-pack submanifold conv: the lex-order formulation
+# ---------------------------------------------------------------------------
+
+
+def plane_offsets(kernel_size: int = 3) -> jnp.ndarray:
+    """(K^2, 2) centered (dx, dy) offsets, enumerated so that
+    ``plane_offsets(k)[o] == -plane_offsets(k)[k*k - 1 - o]`` (the mirror
+    symmetry behind the z-pack conv's flipped-kernel backward) and the
+    center sits at ``K^2 // 2``."""
+    r = range(kernel_size)
+    shift = (kernel_size - 1) // 2
+    return jnp.array(
+        [(dx - shift, dy - shift) for dx in r for dy in r], jnp.int32
+    )
+
+
+class ZPlan(NamedTuple):
+    """Per-level structure for the z-pack conv engine.
+
+    Exploits the lex (b, x, y, z) sort invariant every voxel level
+    satisfies (:func:`dedup_sort_perm`): all voxels of one (b, x, y)
+    column are CONTIGUOUS rows in z order, so every z-neighbor within
+    reach 2r of row j sits at row j+s with abs(s) <= 2r, found by pure
+    shifted-coordinate comparison — no hash lookup. A k^3 submanifold
+    conv then collapses to K^2 = k^2 gathers of z-packed rows:
+
+    - a band matrix q (M, (4r+1)C) is built from shifted SLICES of the
+      feature array (q[j] band c = features of the voxel at z_j + c, or
+      zero when absent);
+    - the stacked array P = [p^-r; ..; p^+r; 0-row] holds the 2r+1
+      alignment views p^a = q[:, (a+r)C : (a+3r+1)C], each (M, (2r+1)C);
+    - ``ext[i, o]`` indexes P at row (a+r)*M + j', where j' is the row
+      of the first existing voxel in column (xy_i + o) at z-offset a
+      (preference 0, -1, +1, ..): p^a[j'] is then the f-window of that
+      column centered at z_i REGARDLESS of which a hit, so any hit is
+      exact; the pad row (2r+1)*M covers columns with nothing in reach
+      (spconv's contribution is zero there too).
+
+    On the measured TPU gather law (~flat cost per ROW up to ~512 B) a
+    27-offset conv's per-conv random rows drop from 26 gathers of C-rows
+    to 8 gathers of 3C-rows (3.2x fewer rows, equal bytes) at identical
+    MXU FLOPs, identical weights layout, and exactly spconv's math
+    (/root/reference/Modules/TreeLearn/blocks.py:44-81 semantics); the
+    per-level build does (2r+1)(K^2-1) lookups vs K^3-1 — equal for k=3
+    (24 vs 26) and half for k=5 (120 vs 124).
+    """
+
+    ext: jax.Array  # (M, K^2) int32 rows into P; (2r+1)*M = missing
+    zshift: jax.Array  # (M, 4r) int32 row offset of the z+c voxel
+    # (slots c = -2r..-1, +1..+2r), 0 = missing
+
+
+def build_zplan(
+    coords: jax.Array,
+    valid: jax.Array,
+    kernel_size: int = 3,
+    verify_coords: bool = False,
+    table: VoxelTable | None = None,
+) -> ZPlan:
+    """Build the z-pack conv structure (see :class:`ZPlan`).
+
+    ``coords`` MUST be lex-sorted (b, x, y, z) with padding rows last —
+    the invariant :func:`dedup_sort_perm` establishes for every voxel
+    level (voxelize, build_downsample). The z-shift slots are exact pure
+    coordinate comparisons; the in-plane lookups share
+    :func:`build_rulebook`'s exactness story (``verify_coords``).
+    """
+    m = coords.shape[0]
+    assert kernel_size % 2 == 1, "submanifold rulebooks need odd kernels"
+    r = (kernel_size - 1) // 2
+    if table is None:
+        table = build_table(coords, valid)
+
+    offs = plane_offsets(kernel_size)  # (K2, 2)
+    k2 = offs.shape[0]
+    half = k2 // 2
+    arange_m = jnp.arange(m, dtype=jnp.int32)
+    noncenter = jnp.concatenate([offs[:half], offs[half + 1 :]])
+
+    # alignment preference: a = 0 first, then growing |a|
+    aligns = [0]
+    for a in range(1, r + 1):
+        aligns += [-a, a]
+
+    missing = (2 * r + 1) * m
+    ext_nc = jnp.full((k2 - 1, m), missing, jnp.int32)
+    for a in aligns:
+        q = jnp.broadcast_to(coords[None, :, :], (k2 - 1, m, 4))
+        q = q.at[:, :, 1:3].add(noncenter[:, None, :])
+        q = q.at[:, :, 3].add(a)
+        idx = lookup(table, q, verify_coords=verify_coords)  # (K2-1, M)
+        hit = valid[None, :] & (idx >= 0)
+        enc = (a + r) * m + jnp.where(hit, idx, 0)
+        ext_nc = jnp.where(hit & (ext_nc == missing), enc, ext_nc)
+
+    center = jnp.where(valid, r * m + arange_m, missing)[None]
+    ext = jnp.concatenate(
+        [ext_nc[:half], center, ext_nc[half:]]
+    ).T.astype(jnp.int32)
+
+    def shifted_rows(s):
+        """coords/valid of row j+s (out-of-range rows invalid)."""
+        c = jnp.concatenate([coords[s:], coords[:s]], axis=0)
+        if s > 0:
+            v = jnp.concatenate([valid[s:], jnp.zeros(s, bool)])
+        else:
+            v = jnp.concatenate([jnp.zeros(-s, bool), valid[:s]])
+        return c, v
+
+    slots = []
+    for dz in [*range(-2 * r, 0), *range(1, 2 * r + 1)]:
+        target = coords.at[:, 3].add(dz)
+        res = jnp.zeros(m, jnp.int32)
+        step = 1 if dz > 0 else -1
+        for s in range(step, dz + step, step):
+            sc, sv = shifted_rows(s)
+            hit = valid & sv & jnp.all(sc == target, axis=1)
+            res = jnp.where(hit & (res == 0), s, res)
+        slots.append(res)
+    return ZPlan(ext=ext, zshift=jnp.stack(slots, axis=1))
+
+
+def _zbands(feats, zshift, valid, dtype):
+    """(M, C) -> (M, (4r+1)C) band matrix q (band c ascending in
+    [-2r, 2r]: the same-column voxel features at z+c, zero when absent).
+    Pure shifted slices + selects — no gathers."""
+    m, c = feats.shape
+    f = jnp.where(valid[:, None], feats, 0).astype(dtype)
+    r2 = zshift.shape[1] // 2  # = 2r
+
+    def shifted(s):
+        if s > 0:
+            return jnp.concatenate(
+                [f[s:], jnp.zeros((s, c), f.dtype)], axis=0
+            )
+        return jnp.concatenate(
+            [jnp.zeros((-s, c), f.dtype), f[:s]], axis=0
+        )
+
+    bands = []
+    for t, dz in enumerate([*range(-r2, 0), *range(1, r2 + 1)]):
+        band = jnp.zeros_like(f)
+        step = 1 if dz > 0 else -1
+        for s in range(step, dz + step, step):
+            band = jnp.where(
+                (zshift[:, t] == s)[:, None], shifted(s), band
+            )
+        bands.append(band)
+    return jnp.concatenate(bands[:r2] + [f] + bands[r2:], axis=1)
+
+
+def _zconv_impl(dtype, feats, weights, ext, zshift, valid):
+    """Forward z-pack conv; weights (k^3, Cin, Cout) in
+    :func:`kernel_offsets` layout (identical to subm_conv_apply)."""
+    m, cin = feats.shape
+    k3, _, cout = weights.shape
+    k = round(k3 ** (1 / 3))
+    r = (k - 1) // 2
+    k2 = k * k
+    e = k * cin  # (2r+1) * cin
+    q = _zbands(feats, zshift, valid, dtype)
+    # alignment view a gathers at the voxel z' = z + a, so its window
+    # must be the bands CENTERED AT -a relative to z' (f(z' + c) for
+    # c in [-a-r, -a+r] == f(z + dz), dz in [-r, r])
+    views = [q[:, (r - a) * cin : (r - a) * cin + e]
+             for a in range(-r, r + 1)]
+    p = jnp.concatenate(views + [jnp.zeros((1, e), q.dtype)], axis=0)
+    # (k^3, Cin, Cout) -> (K^2, k*Cin, Cout): kernel_offsets enumerates
+    # (dx, dy, dz) with dz fastest, matching q's ascending z bands
+    w2 = weights.reshape(k, k, k, cin, cout).reshape(k2, e, cout)
+    w2 = w2.astype(dtype)
+    center = k2 // 2
+    out = jnp.zeros((m, cout), jnp.float32)
+    for o in range(k2):
+        g = views[r] if o == center else p[ext[:, o]]
+        out = out + jnp.dot(g, w2[o], preferred_element_type=jnp.float32)
+    return out * valid[:, None]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _zconv(dtype, feats, weights, ext, zshift, valid):
+    return _zconv_impl(dtype, feats, weights, ext, zshift, valid)
+
+
+def _zconv_fwd(dtype, feats, weights, ext, zshift, valid):
+    out = _zconv_impl(dtype, feats, weights, ext, zshift, valid)
+    return out, (feats, weights, ext, zshift, valid)
+
+
+def _zconv_bwd(dtype, res, g):
+    feats, weights, ext, zshift, valid = res
+    m, cin = feats.shape
+    k3, _, cout = weights.shape
+    k = round(k3 ** (1 / 3))
+    r = (k - 1) // 2
+    k2 = k * k
+    e = k * cin
+    g_masked = (g * valid[:, None]).astype(dtype)
+
+    # d_feats — exact submanifold conv-transpose identity: the adjoint
+    # of conv(W) is conv of the output gradient with the offset-FLIPPED,
+    # channel-transposed kernel, evaluated with the SAME plan (each
+    # voxel's own alignment entries enumerate exactly the in-reach
+    # column voxels, so the plan serves both directions; no scatters).
+    w_bwd = weights[::-1].swapaxes(-1, -2)  # offs[k] == -offs[K-1-k]
+    d_feats = _zconv_impl(dtype, g_masked, w_bwd, ext, zshift, valid)
+
+    # d_weights: recompute the forward gathers and contract over voxels;
+    # gathered window band c of column xy+o IS f(z_i + c) regardless of
+    # the alignment that hit, so d_W2[o] bands are exactly d_w[(o, c)].
+    q = _zbands(feats, zshift, valid, dtype)
+    # alignment view a gathers at the voxel z' = z + a, so its window
+    # must be the bands CENTERED AT -a relative to z' (f(z' + c) for
+    # c in [-a-r, -a+r] == f(z + dz), dz in [-r, r])
+    views = [q[:, (r - a) * cin : (r - a) * cin + e]
+             for a in range(-r, r + 1)]
+    p = jnp.concatenate(views + [jnp.zeros((1, e), q.dtype)], axis=0)
+    center = k2 // 2
+    d_w2 = []
+    for o in range(k2):
+        fwd_g = views[r] if o == center else p[ext[:, o]]
+        d_w2.append(
+            jnp.dot(fwd_g.T, g_masked, preferred_element_type=jnp.float32)
+        )
+    d_weights = (
+        jnp.stack(d_w2)
+        .reshape(k, k, k, cin, cout)
+        .reshape(k3, cin, cout)
+        .astype(weights.dtype)
+    )
+    return d_feats.astype(feats.dtype), d_weights, None, None, None
+
+
+_zconv.defvjp(_zconv_fwd, _zconv_bwd)
+
+
+def subm_conv_zpack_apply(
+    feats: jax.Array,  # (M, Cin)
+    weights: jax.Array,  # (k^3, Cin, Cout) — SAME layout as subm_conv_apply
+    plan: ZPlan,
+    valid: jax.Array,
+    compute_dtype=None,
+) -> jax.Array:
+    """Submanifold conv via the z-pack formulation (see :class:`ZPlan`).
+
+    Numerically matches :func:`subm_conv_apply` up to float accumulation
+    order (K^2 packed dots instead of K^3) with the identical weights
+    tensor, so the engines are checkpoint-interchangeable.
+    """
+    dtype = jnp.dtype(compute_dtype or feats.dtype)
+    return _zconv(dtype, feats, weights, plan.ext, plan.zshift, valid)

@@ -44,12 +44,48 @@ class TrainState(flax.struct.PyTreeNode):
     step: jax.Array
 
 
-def make_optimizer(weight_decay: float = 1e-3) -> optax.GradientTransformation:
-    """AdamW with dynamic LR applied in the step (see make_train_step)."""
+def trainable_mask(params, fixed_modules: tuple) -> Any:
+    """Bool pytree: False for every leaf under a top-level submodule
+    named in ``fixed_modules`` (e.g. ``("backbone",)``)."""
+    return {
+        k: jax.tree.map(lambda _: k not in fixed_modules, sub)
+        for k, sub in params.items()
+    }
+
+
+def make_optimizer(
+    weight_decay: float = 1e-3,
+    fixed_modules: tuple = (),
+) -> optax.GradientTransformation:
+    """AdamW with dynamic LR applied in the step (see make_train_step).
+
+    ``fixed_modules`` freezes the named top-level submodules for transfer
+    learning — the reference's ``fixed_modules`` constructor arg that sets
+    ``requires_grad=False`` on their parameters
+    (/root/reference/Modules/TreeLearn/TreeLearn.py:65-87). Frozen leaves
+    get zeroed gradients (so they never enter the global-norm clip, like
+    absent grads in torch) and are excluded from weight decay.
+    """
+    fixed = tuple(fixed_modules)
+    if not fixed:
+        return optax.chain(
+            optax.clip_by_global_norm(GRAD_CLIP_NORM),
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale(-1.0),
+        )
     return optax.chain(
+        optax.masked(
+            optax.set_to_zero(),
+            lambda params: jax.tree.map(
+                lambda t: not t, trainable_mask(params, fixed)
+            ),
+        ),
         optax.clip_by_global_norm(GRAD_CLIP_NORM),
         optax.scale_by_adam(),
-        optax.add_decayed_weights(weight_decay),
+        optax.add_decayed_weights(
+            weight_decay, mask=lambda params: trainable_mask(params, fixed)
+        ),
         optax.scale(-1.0),
     )
 
@@ -71,13 +107,22 @@ def make_train_step(
     forward_fn: Callable,
     loss_fn: Callable,
     tx: optax.GradientTransformation,
+    fixed_modules: tuple = (),
 ):
     """Build the jitted train step.
 
     forward_fn(params, batch_stats, batch, train, rng)
         -> (output dict, new_batch_stats)
     loss_fn(output, batch) -> (loss, loss_dict)
+
+    ``fixed_modules`` (pair it with the same arg on
+    :func:`make_optimizer`) keeps the named top-level submodules' BN
+    running stats untouched — the reference forces fixed modules' BN to
+    eval mode during training (TreeLearn.py:79-87). Deviation: the
+    forward still *normalizes* with batch statistics; only the running
+    stats are pinned.
     """
+    fixed = tuple(fixed_modules)
 
     @jax.jit
     def train_step(state: TrainState, batch, lr, rng):
@@ -91,6 +136,11 @@ def make_train_step(
         grads, (new_bs, loss, loss_dict) = jax.grad(compute, has_aux=True)(
             state.params
         )
+        if fixed and new_bs:
+            new_bs = {
+                k: (state.batch_stats[k] if k in fixed else v)
+                for k, v in new_bs.items()
+            }
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * lr, updates)
         new_params = optax.apply_updates(state.params, updates)
@@ -109,6 +159,7 @@ def make_accum_steps(
     forward_fn: Callable,
     loss_fn: Callable,
     tx: optax.GradientTransformation,
+    fixed_modules: tuple = (),
 ):
     """Gradient-accumulation step pair for hierarchical streaming training.
 
@@ -139,6 +190,11 @@ def make_accum_steps(
         g, (new_bs, loss, loss_dict) = jax.grad(compute, has_aux=True)(
             state.params
         )
+        if fixed_modules and new_bs:
+            new_bs = {
+                k: (state.batch_stats[k] if k in fixed_modules else v)
+                for k, v in new_bs.items()
+            }
         new_grads = jax.tree.map(jnp.add, grads, g)
         return (
             state.replace(batch_stats=new_bs),
