@@ -79,6 +79,11 @@ def parse_args():
     p.add_argument("--channels", type=int, default=32)
     p.add_argument("--depth", type=int, default=5, help="pointnet2 depth")
     p.add_argument("--dim_feat", type=int, default=4)
+    p.add_argument("--dedup_divisor", type=int, default=None,
+                   help="ptv3: run level-0 convs once per unique voxel "
+                        "(static cap = points // divisor; overflow is "
+                        "reported). Dense clouds: 4 is safe and ~1.8x "
+                        "faster; None = off")
     p.add_argument("--verbose", action="store_true")
     return p.parse_args()
 
@@ -113,6 +118,7 @@ def build(args, batch_size: int):
             dim_feat=args.dim_feat,
             use_feats=True,
             voxel_size=args.voxel_size or 0.02,
+            dedup_divisor=args.dedup_divisor,
         )
         fam = families.ptv3_family(
             model, args.loss_multiplier_semantic, args.loss_multiplier_offset

@@ -64,6 +64,6 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         fname = os.path.basename(str(item.fspath))
         if fname in SLOW_TESTS or any(
-            item.name.startswith(n) or n in item.name for n in SLOW_NODES
+            item.name.startswith(n) for n in SLOW_NODES
         ):
             item.add_marker(pytest.mark.slow)

@@ -614,3 +614,133 @@ class TestPDNorm:
             condition=1,
         )
         assert np.isfinite(np.asarray(out["offset_predictions"])).all()
+
+
+class TestDedup:
+    """Level-0 unique-voxel conv path (``dedup_divisor``)."""
+
+    def _dup_batch(self, rng, n=512, copies=3, voxel=0.05):
+        # one point per voxel cell (iterated dedup: subsetting moves the
+        # grid origin, see tests/test_import_ptv3.py), then each point
+        # repeated `copies` times — duplicates are exact copies
+        labeled = synthetic_cylinder_cloud(8 * n, rng=rng)
+        c = labeled[:, :3].astype(np.float32)
+        f = labeled[:, 7:].astype(np.float32)
+
+        def cells_of(x):
+            return np.floor(
+                (x - x.min(0)) / np.float32(voxel)
+            ).astype(np.int64)
+
+        _, first = np.unique(cells_of(c), axis=0, return_index=True)
+        keep = np.sort(first)[:n]
+        c, f = c[keep], f[keep]
+        while True:
+            _, first = np.unique(cells_of(c), axis=0, return_index=True)
+            if first.shape[0] == c.shape[0]:
+                break
+            keep = np.sort(first)
+            c, f = c[keep], f[keep]
+        n = c.shape[0]
+        coords = np.repeat(c, copies, axis=0)
+        feats = np.repeat(f, copies, axis=0)
+        p = -(-n * copies // 64) * 64
+        pad = p - n * copies
+        coords = np.pad(coords, ((0, pad), (0, 0))).astype(np.float32)
+        feats = np.pad(feats, ((0, pad), (0, 0)))
+        valid = np.arange(p) < n * copies
+        batch_ids = np.zeros(p, np.int32)
+        return (
+            jnp.asarray(coords),
+            jnp.asarray(feats),
+            jnp.asarray(batch_ids),
+            jnp.asarray(valid),
+        )
+
+    def test_bit_identical_on_duplicate_free_cloud(self, rng):
+        # no duplicates -> the tie-break is vacuous and the dedup path
+        # must be a pure plumbing identity (per-row conv sums unchanged)
+        args = self._dup_batch(rng, n=512, copies=1)
+        base = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05, **TINY
+        )
+        dedup = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05,
+            dedup_divisor=1, **TINY
+        )
+        var = jax.jit(
+            lambda r, c, f, b, v: base.init(r, c, f, b, v, train=False)
+        )(jax.random.key(0), *args)
+        out0 = jax.jit(
+            lambda p, c, f, b, v: base.apply(p, c, f, b, v, train=False)
+        )(var, *args)
+        out1 = jax.jit(
+            lambda p, c, f, b, v: dedup.apply(p, c, f, b, v, train=False)
+        )(var, *args)
+        assert int(out1["dedup_overflow"]) == 0
+        np.testing.assert_array_equal(
+            np.asarray(out0["offset_predictions"]),
+            np.asarray(out1["offset_predictions"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out0["semantic_prediction_logits"]),
+            np.asarray(out1["semantic_prediction_logits"]),
+        )
+
+    def test_duplicates_consistent_and_close_to_base(self, rng):
+        # with duplicates the two paths pick different (equally valid)
+        # representatives; duplicates stay separate ATTENTION tokens, so
+        # outputs drift slightly — but all convs give duplicate rows one
+        # representative, and outputs must stay close to the base engine
+        args = self._dup_batch(rng, n=512, copies=3)
+        base = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05, **TINY
+        )
+        dedup = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05,
+            dedup_divisor=2, **TINY
+        )
+        var = base.init(jax.random.key(0), *args, False)
+        out0 = base.apply(var, *args, False)
+        out1 = dedup.apply(var, *args, False)
+        assert int(out1["dedup_overflow"]) == 0
+        a = np.asarray(out0["offset_predictions"])
+        b = np.asarray(out1["offset_predictions"])
+        scale = np.abs(a).max()
+        assert np.abs(a - b).max() < 0.25 * scale, (
+            np.abs(a - b).max(), scale
+        )
+
+    def test_overflow_counted_when_cap_too_small(self, rng):
+        args = self._dup_batch(rng, n=2048, copies=1)
+        model = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05,
+            # cap floors at min(P, 1024) < the ~2048 unique voxels
+            dedup_divisor=512, **TINY
+        )
+        var = model.init(jax.random.key(0), *args, False)
+        out = model.apply(var, *args, False)
+        assert int(out["dedup_overflow"]) > 0
+        assert np.isfinite(np.asarray(out["offset_predictions"])).all()
+
+    def test_gradients_flow_through_dedup_path(self, rng):
+        args = self._dup_batch(rng, n=256, copies=2)
+        model = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05,
+            dedup_divisor=2, **TINY
+        )
+        var = model.init(jax.random.key(0), *args, False)
+
+        def loss(params):
+            out = model.apply(
+                {**var, "params": params}, *args, False
+            )
+            return jnp.sum(out["offset_predictions"] ** 2)
+
+        g = jax.grad(loss)(var["params"])
+        stem = g["backbone"]["embedding"]["kernel"]
+        assert float(jnp.abs(stem).max()) > 0
+        assert all(
+            np.isfinite(np.asarray(l)).all()
+            for l in jax.tree_util.tree_leaves(g)
+        )

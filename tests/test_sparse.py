@@ -392,3 +392,45 @@ class TestSubmConvGradient:
         want = _subm_conv_impl(jnp.float32, feats, weights, rb, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6)
+
+
+class TestBuildDedup:
+    def test_mapping_and_representatives(self):
+        from treemorph_tpu.ops.sparse import build_dedup
+
+        c = jnp.asarray(
+            [[0, 1, 1, 1], [0, 1, 1, 1], [0, 2, 1, 1], [0, 1, 1, 1],
+             [1, 1, 1, 1], [0, 0, 0, 0]], jnp.int32
+        )
+        v = jnp.asarray([1, 1, 1, 1, 1, 0], bool)
+        dd = build_dedup(c, v, cap=4)
+        v2u = np.asarray(dd.v2u)
+        # duplicates share a unique id; invalid row dumps to cap
+        assert v2u[0] == v2u[1] == v2u[3]
+        assert v2u[2] != v2u[0] and v2u[4] != v2u[0]
+        assert v2u[5] == 4
+        assert int(dd.num_unique) == 3 and int(dd.overflow) == 0
+        rows = np.asarray(dd.rows)
+        coords = np.asarray(dd.coords)
+        valid = np.asarray(dd.valid)
+        # representative = first original row of the group
+        assert rows[v2u[0]] == 0 and rows[v2u[2]] == 2
+        for i in range(6):
+            if v[i]:
+                assert (coords[v2u[i]] == np.asarray(c)[i]).all()
+        assert valid.sum() == 3
+        # unique coords lex-sorted (b, x, y, z) with padding last
+        real = coords[valid]
+        keys = [tuple(r) for r in real]
+        assert keys == sorted(keys)
+
+    def test_overflow_dumped_and_counted(self, rng):
+        from treemorph_tpu.ops.sparse import build_dedup
+
+        m = 64
+        c = np.zeros((m, 4), np.int32)
+        c[:, 3] = np.arange(m)  # all unique
+        dd = build_dedup(jnp.asarray(c), jnp.ones(m, bool), cap=16)
+        assert int(dd.overflow) == m - 16
+        v2u = np.asarray(dd.v2u)
+        assert (v2u[v2u == 16].size) == m - 16

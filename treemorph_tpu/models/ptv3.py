@@ -37,7 +37,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.serialization import encode
-from ..ops.sparse import build_rulebook, build_table, subm_conv_apply
+from ..ops.sparse import (
+    build_dedup,
+    build_rulebook,
+    build_table,
+    subm_conv_apply,
+)
 from .loss import point_wise_loss
 from .treelearn import MaskedBatchNorm, MLPHead
 
@@ -402,7 +407,10 @@ class SerializedAttention(nn.Module):
 
         out = jnp.moveaxis(out, 1, 2).reshape(p_eff, c)
         if self.pad_per_element:
-            out = out[unpad]
+            # invalid positions map through clipped unpad indices onto
+            # real rows; zero them so both layouts share the invariant
+            # that invalid rows carry ~zero features
+            out = out[unpad] * ps.valid[order][:, None]
         out = out[inverse]
         out = nn.Dense(c, name="proj")(out)
         return out
@@ -416,19 +424,36 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         hidden = int(self.channels * self.mlp_ratio)
         x = nn.Dense(hidden)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.channels)(x)
+
+
+def _dedup_broadcast(x_u, dedup):
+    """(U, C) unique-voxel rows -> (P, C) point rows (overflow -> 0)."""
+    cap = dedup.rows.shape[0]
+    return (
+        x_u[jnp.minimum(dedup.v2u, cap - 1)]
+        * (dedup.v2u < cap)[:, None]
+    )
 
 
 class CPE(nn.Module):
     """xCPE: submanifold conv (k=3, bias) + linear + LayerNorm
-    (reference Block.cpe, blocks.py:562-572)."""
+    (reference Block.cpe, blocks.py:562-572).
+
+    With ``dedup`` the conv runs once per unique voxel and broadcasts
+    (identical outputs for duplicate rows — spconv semantics, see
+    :class:`treemorph_tpu.ops.sparse.DedupMap`); the linear + LayerNorm
+    stay per-point (row-local, so numerically unchanged)."""
 
     channels: int
     pdnorm: PDNormSpec | None = None
 
     @nn.compact
-    def __call__(self, feat, rulebook, valid, train=False, cond=(0, None)):
+    def __call__(
+        self, feat, rulebook, valid, train=False, cond=(0, None),
+        dedup=None,
+    ):
         k = rulebook.shape[1]
         w = self.param(
             "kernel",
@@ -436,7 +461,13 @@ class CPE(nn.Module):
             (k, feat.shape[-1], self.channels),
         )
         b = self.param("bias", nn.initializers.zeros, (self.channels,))
-        x = subm_conv_apply(feat, w, rulebook, valid) + b * valid[:, None]
+        if dedup is not None:
+            u_feat = feat[dedup.rows] * dedup.valid[:, None]
+            x_u = subm_conv_apply(u_feat, w, rulebook, dedup.valid)
+            x = _dedup_broadcast(x_u, dedup) + b * valid[:, None]
+        else:
+            x = subm_conv_apply(feat, w, rulebook, valid)
+            x = x + b * valid[:, None]
         x = nn.Dense(self.channels)(x)
         return _norm_ln(
             self.pdnorm, self.channels, "LayerNorm_0", x, valid, train, cond
@@ -459,11 +490,12 @@ class PTv3Block(nn.Module):
 
     @nn.compact
     def __call__(
-        self, ps: PointSet, rulebook, train: bool, cond=(0, None)
+        self, ps: PointSet, rulebook, train: bool, cond=(0, None),
+        dedup=None,
     ):
         feat = ps.feat
         feat = feat + CPE(self.channels, self.pdnorm, name="cpe")(
-            feat, rulebook, ps.valid, train, cond
+            feat, rulebook, ps.valid, train, cond, dedup=dedup
         )
 
         shortcut = feat
@@ -586,7 +618,7 @@ class SerializedPooling(nn.Module):
             self.pdnorm, self.out_channels, "norm", feat, coarse_valid,
             train, cond,
         )
-        feat = nn.gelu(feat)
+        feat = nn.gelu(feat, approximate=False)
         feat = feat * coarse_valid[:, None]
 
         # Pooled curve codes = the cluster head's codes shifted one curve
@@ -659,13 +691,13 @@ class SerializedUnpooling(nn.Module):
             self.pdnorm, self.out_channels, "norm", x, coarse_valid,
             train, cond,
         )
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         skip = nn.Dense(self.out_channels, name="proj_skip")(fine.feat)
         skip = _norm_bn(
             self.pdnorm, self.out_channels, "norm_skip", skip, fine.valid,
             train, cond,
         )
-        skip = nn.gelu(skip)
+        skip = nn.gelu(skip, approximate=False)
         cap = x.shape[0]
         up = x[jnp.clip(cluster, 0, cap - 1)] * (cluster < cap)[:, None]
         feat = (skip + up) * fine.valid[:, None]
@@ -680,23 +712,32 @@ class Embedding(nn.Module):
 
     @nn.compact
     def __call__(
-        self, ps: PointSet, train: bool, table=None, cond=(0, None)
+        self, ps: PointSet, train: bool, table=None, cond=(0, None),
+        dedup=None,
     ):
-        coords4 = jnp.concatenate(
-            [ps.batch[:, None], ps.grid_coord], axis=1
-        )
-        rulebook = build_rulebook(coords4, ps.valid, 5, table=table)
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (125, ps.feat.shape[-1], self.channels),
         )
-        x = subm_conv_apply(ps.feat, w, rulebook, ps.valid)
+        if dedup is not None:
+            rulebook = build_rulebook(
+                dedup.coords, dedup.valid, 5, table=table
+            )
+            u_feat = ps.feat[dedup.rows] * dedup.valid[:, None]
+            x_u = subm_conv_apply(u_feat, w, rulebook, dedup.valid)
+            x = _dedup_broadcast(x_u, dedup)
+        else:
+            coords4 = jnp.concatenate(
+                [ps.batch[:, None], ps.grid_coord], axis=1
+            )
+            rulebook = build_rulebook(coords4, ps.valid, 5, table=table)
+            x = subm_conv_apply(ps.feat, w, rulebook, ps.valid)
         x = _norm_bn(
             self.pdnorm, self.channels, "MaskedBatchNorm_0", x, ps.valid,
             train, cond,
         )
-        x = nn.gelu(x) * ps.valid[:, None]
+        x = nn.gelu(x, approximate=False) * ps.valid[:, None]
         return ps._replace(feat=x)
 
 
@@ -729,6 +770,11 @@ class PointTransformerV3(nn.Module):
     #: cap — overflow points are dropped+masked only on adversarial
     #: volumetric clouds).
     pool_shrink: int = 2
+    #: run level-0 convs (k=5 stem + xCPE) once per unique voxel and
+    #: broadcast to duplicate-coordinate points (exact spconv semantics,
+    #: see ops.sparse.DedupMap). Static unique-voxel cap = P // divisor;
+    #: overflow is counted in the output diagnostics. None = off.
+    dedup_divisor: int | None = None
 
     @nn.compact
     def __call__(
@@ -767,9 +813,19 @@ class PointTransformerV3(nn.Module):
         coords4_0 = jnp.concatenate(
             [ps.batch[:, None], ps.grid_coord], axis=1
         )
-        table0 = build_table(coords4_0, ps.valid)
+        dd = None
+        if self.dedup_divisor:
+            # run level-0 convs once per unique voxel (see DedupMap):
+            # dense TLS clouds carry several points per 0.02 m cell, and
+            # spconv gives duplicate rows identical conv outputs anyway
+            p0 = ps.feat.shape[0]
+            cap_u = max(p0 // self.dedup_divisor, min(p0, 1024))
+            dd = build_dedup(coords4_0, ps.valid, cap=cap_u)
+            table0 = build_table(dd.coords, dd.valid)
+        else:
+            table0 = build_table(coords4_0, ps.valid)
         ps = Embedding(self.enc_channels[0], self.pdnorm, name="embedding")(
-            ps, train, table=table0, cond=cond
+            ps, train, table=table0, cond=cond, dedup=dd
         )
 
         total_enc = sum(self.enc_depths)
@@ -778,11 +834,12 @@ class PointTransformerV3(nn.Module):
             for i in range(total_enc)
         ]
 
-        # skips: (fine PointSet, cluster, fine level's rulebook) — the
-        # decoder operates on exactly the encoder's fine coords, so its
-        # rulebooks are the encoder's, never rebuilt
+        # skips: (fine PointSet, cluster, fine level's rulebook, fine
+        # level's dedup) — the decoder operates on exactly the encoder's
+        # fine coords, so its rulebooks are the encoder's, never rebuilt
         skips = []
         rulebook = None
+        level_dd = None
         dp_i = 0
         for s in range(num_stages):
             if s > 0:
@@ -803,14 +860,23 @@ class PointTransformerV3(nn.Module):
                     pdnorm=self.pdnorm,
                     name=f"enc{s}_down",
                 )(ps, train, shuffle_rng=rngs[s], cond=cond)
-                skips.append((ps, cluster, rulebook))
+                skips.append((ps, cluster, rulebook, level_dd))
                 ps = coarse
-            coords4 = jnp.concatenate(
-                [ps.batch[:, None], ps.grid_coord], axis=1
-            )
-            rulebook = build_rulebook(
-                coords4, ps.valid, 3, table=table0 if s == 0 else None
-            )
+            if s == 0 and dd is not None:
+                # pooled levels (code>>3 clusters) are duplicate-free;
+                # only level 0 carries per-point duplicates
+                level_dd = dd
+                rulebook = build_rulebook(
+                    dd.coords, dd.valid, 3, table=table0
+                )
+            else:
+                level_dd = None
+                coords4 = jnp.concatenate(
+                    [ps.batch[:, None], ps.grid_coord], axis=1
+                )
+                rulebook = build_rulebook(
+                    coords4, ps.valid, 3, table=table0 if s == 0 else None
+                )
             for i in range(self.enc_depths[s]):
                 ps = PTv3Block(
                     channels=self.enc_channels[s],
@@ -824,7 +890,7 @@ class PointTransformerV3(nn.Module):
                     enable_rpe=self.enable_rpe,
                     pdnorm=self.pdnorm,
                     name=f"enc{s}_block{i}",
-                )(ps, rulebook, train, cond=cond)
+                )(ps, rulebook, train, cond=cond, dedup=level_dd)
                 dp_i += 1
 
         total_dec = sum(self.dec_depths)
@@ -833,7 +899,7 @@ class PointTransformerV3(nn.Module):
             for i in range(total_dec)
         ]
         for s in reversed(range(num_stages - 1)):
-            fine, cluster, rulebook = skips.pop()
+            fine, cluster, rulebook, level_dd = skips.pop()
             ps = SerializedUnpooling(
                 self.dec_channels[s], pdnorm=self.pdnorm, name=f"dec{s}_up"
             )(ps.feat, ps.valid, fine, cluster, train, cond=cond)
@@ -853,8 +919,13 @@ class PointTransformerV3(nn.Module):
                     enable_rpe=self.enable_rpe,
                     pdnorm=self.pdnorm,
                     name=f"dec{s}_block{i}",
-                )(ps, rulebook, train, cond=cond)
-        return ps
+                )(ps, rulebook, train, cond=cond, dedup=level_dd)
+        diag = {
+            "dedup_overflow": (
+                dd.overflow if dd is not None else jnp.int32(0)
+            )
+        }
+        return ps, diag
 
 
 class PointTransformerWithHeads(nn.Module):
@@ -877,6 +948,11 @@ class PointTransformerWithHeads(nn.Module):
     enable_rpe: bool = False
     pdnorm: PDNormSpec | None = None
     pool_shrink: int = 2
+    #: run level-0 convs (k=5 stem + xCPE) once per unique voxel and
+    #: broadcast to duplicate-coordinate points (exact spconv semantics,
+    #: see ops.sparse.DedupMap). Static unique-voxel cap = P // divisor;
+    #: overflow is counted in the output diagnostics. None = off.
+    dedup_divisor: int | None = None
 
     @nn.compact
     def __call__(
@@ -892,7 +968,7 @@ class PointTransformerWithHeads(nn.Module):
     ) -> dict:
         if not self.use_feats:
             feats = jnp.ones_like(feats)
-        ps = PointTransformerV3(
+        ps, diag = PointTransformerV3(
             in_channels=self.dim_feat,
             enc_depths=self.enc_depths,
             enc_channels=self.enc_channels,
@@ -909,6 +985,7 @@ class PointTransformerWithHeads(nn.Module):
             enable_rpe=self.enable_rpe,
             pdnorm=self.pdnorm,
             pool_shrink=self.pool_shrink,
+            dedup_divisor=self.dedup_divisor,
             name="backbone",
         )(coords, feats, batch_ids, valid, train, shuffle_rng,
           condition, context)
@@ -920,6 +997,9 @@ class PointTransformerWithHeads(nn.Module):
             "backbone_feats": feat,
             "semantic_prediction_logits": sem,
             "offset_predictions": off,
+            # points whose voxel overflowed the level-0 dedup cap (0 in
+            # healthy configs; their conv contributions were dropped)
+            "dedup_overflow": diag["dedup_overflow"],
         }
 
 

@@ -13,6 +13,14 @@ gather/scatter engine in :mod:`treemorph_tpu.ops.sparse`; every resolution
 level builds one rulebook shared by all its submanifold convs (the
 reference's ``indice_key``). BatchNorm is mask-aware because padded voxel
 rows exist (the reference's spconv tensors are exact-sized).
+
+Training and inference default to ``verify_coords=False``: rulebook
+lookups are probabilistic dual-hash (false-hit ~1e-7 per forward,
+bucket-overflow drop ~1e-12 — bounds in ``ops/sparse.py``). A false hit
+also breaks the rulebook antisymmetry the conv's custom VJP mirrors, so
+the corresponding gradient rows are slightly wrong, not just the forward.
+Set ``verify_coords=True`` (one extra (Q, 4) coordinate gather per
+lookup) for collision-proof runs.
 """
 
 from __future__ import annotations

@@ -413,6 +413,77 @@ def _subm_conv_bwd(dtype, res, g):
 _subm_conv.defvjp(_subm_conv_fwd, _subm_conv_bwd)
 
 
+class DedupMap(NamedTuple):
+    """Point rows -> unique-voxel rows (stride-1 dedup).
+
+    PTv3 tokens are POINTS, not voxels (reference ``Point.sparsify``,
+    blocks.py:155-191, never dedups), so at 0.02 m voxels a dense TLS
+    cloud carries several points per cell. spconv's submanifold conv
+    gathers the hash-table winner row for every offset — duplicate rows
+    therefore receive IDENTICAL conv outputs. This map lets the conv run
+    once per unique voxel and broadcast: exact spconv semantics modulo
+    which duplicate's features represent the cell (spconv: hash-insert
+    winner, nondeterministic on GPU; here: lexicographically first row —
+    deterministic).
+    """
+
+    rows: jax.Array  # (cap,) int32 representative point row per voxel
+    coords: jax.Array  # (cap, 4) int32 unique (b, x, y, z), lex-sorted
+    valid: jax.Array  # (cap,) bool
+    v2u: jax.Array  # (P,) int32 unique id; cap = overflow/invalid dump
+    num_unique: jax.Array  # () int32
+    overflow: jax.Array  # () int32 points whose voxel exceeded cap
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def build_dedup(
+    coords: jax.Array, valid: jax.Array, cap: int | None = None
+) -> DedupMap:
+    """Group equal (b, x, y, z) rows; same machinery as
+    :func:`build_downsample` at stride 1. Unique voxels come out
+    lex-sorted; voxels beyond ``cap`` dump to row ``cap`` (counted)."""
+    m = coords.shape[0]
+    if cap is None:
+        cap = m
+    b = coords[:, 0]
+    perm = dedup_sort_perm(coords, valid)
+    sort_b = jnp.where(valid, b, jnp.int32(0x7FFFFFF0))
+    s_key = jnp.concatenate(
+        [sort_b[perm][:, None], coords[perm][:, 1:]], axis=1
+    )
+    s_valid = valid[perm]
+    new = jnp.any(s_key[1:] != s_key[:-1], axis=1)
+    new = jnp.concatenate([jnp.array([True]), new])
+    new = jnp.where(s_valid, new, True)
+    s_id = jnp.cumsum(new.astype(jnp.int32)) - 1
+    num_unique = jnp.where(s_valid, s_id + 1, 0).max().astype(jnp.int32)
+
+    v2u_full = jnp.zeros(m, jnp.int32).at[perm].set(s_id)
+    v2u = jnp.where(valid, jnp.minimum(v2u_full, cap), cap)
+    overflow = jnp.sum(valid & (v2u_full >= cap)).astype(jnp.int32)
+
+    big = jnp.int32(0x7FFFFFF0)
+    # lexsort is stable, so segment_min picks the first original row
+    rows = jax.ops.segment_min(
+        jnp.where(valid, jnp.arange(m, dtype=jnp.int32), big),
+        v2u,
+        num_segments=cap + 1,
+    )[:cap]
+    u_valid = rows < big
+    rows = jnp.where(u_valid, rows, 0)
+    u_coords = jnp.where(u_valid[:, None], coords[rows], 0).astype(
+        jnp.int32
+    )
+    return DedupMap(
+        rows=rows,
+        coords=u_coords,
+        valid=u_valid,
+        v2u=v2u,
+        num_unique=jnp.minimum(num_unique, cap),
+        overflow=overflow,
+    )
+
+
 class DownsampleMap(NamedTuple):
     """Fine -> coarse (stride 2) structure."""
 
