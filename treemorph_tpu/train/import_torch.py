@@ -22,10 +22,13 @@ Layout conventions translated:
   octant = (dx << 2) | (dy << 1) | dz of the fine voxel within its
   parent, matching ``ops.sparse.build_downsample``.
 
-PTv3 checkpoints are NOT convertible: our serialized attention partitions
-windows differently from the reference's flash-attn varlen padding
-(``models/ptv3.py`` module docstring), so layer activations diverge even
-with identical weights.
+PTv3 checkpoints convert via :func:`convert_ptv3` (qkv/proj linears, xCPE
+spconv kernels, pooling/unpooling projections+norms, the k=5 stem, MLP
+heads). For activation-level parity against the reference model run ours
+with ``pad_per_element=True`` — the default window partitioning differs
+from the reference's per-element padding (``models/ptv3.py`` module
+docstring); remaining documented deviations are the serialization depth
+(static 16 vs data-adaptive) and fp accumulation order.
 """
 
 from __future__ import annotations
@@ -245,6 +248,135 @@ def convert_treelearn(
             "output_norm": _bn_stats(sd, "output_layer.0"),
         }
     }
+    for head, ref in (
+        ("semantic_head", "semantic_linear"),
+        ("offset_head", "offset_linear"),
+    ):
+        params[head] = {
+            "Dense_0": _dense(sd[f"{ref}.0.weight"], sd[f"{ref}.0.bias"]),
+            "MaskedBatchNorm_0": _bn_params(sd, f"{ref}.1"),
+            "Dense_1": _dense(sd[f"{ref}.3.weight"], sd[f"{ref}.3.bias"]),
+        }
+        stats[head] = {"MaskedBatchNorm_0": _bn_stats(sd, f"{ref}.1")}
+
+    return _check_against_template(
+        {"params": params, "batch_stats": stats}, template
+    )
+
+
+def _ln(sd, prefix):
+    return {
+        "scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
+        "bias": np.asarray(sd[f"{prefix}.bias"], np.float32),
+    }
+
+
+def convert_ptv3(sd: dict, template, flip_kernel: bool = False) -> dict:
+    """Reference PointTransformerWithHeads state_dict -> our pytree.
+
+    Naming (reference ``Modules/PointTransformerV3/PointTransformerV3.py:
+    261-457`` + ``blocks.py``): ``backbone.embedding.stem`` (k=5 spconv +
+    BN), ``backbone.enc.enc{s}.down`` SerializedPooling / ``.block{i}``
+    Blocks (cpe spconv+linear+LN, norm1/2, attn qkv+proj, mlp fc1/fc2),
+    ``backbone.dec.dec{s}.up`` SerializedUnpooling (proj/proj_skip each
+    Linear+BN), and the ``semantic_linear``/``offset_linear`` MLP heads.
+    """
+    t_back = template["params"]["backbone"]
+    params: dict = {"backbone": {}}
+    stats: dict = {"backbone": {}}
+    bp, bs = params["backbone"], stats["backbone"]
+
+    bp["embedding"] = {
+        "kernel": _subm_kernel(
+            sd["backbone.embedding.stem.conv.weight"], flip_kernel
+        ),
+        "MaskedBatchNorm_0": _bn_params(
+            sd, "backbone.embedding.stem.norm"
+        ),
+    }
+    bs["embedding"] = {
+        "MaskedBatchNorm_0": _bn_stats(sd, "backbone.embedding.stem.norm")
+    }
+
+    def block(ref):
+        p = {
+            "cpe": {
+                "kernel": _subm_kernel(
+                    sd[f"{ref}.cpe.0.weight"], flip_kernel
+                ),
+                "bias": np.asarray(sd[f"{ref}.cpe.0.bias"], np.float32),
+                "Dense_0": _dense(
+                    sd[f"{ref}.cpe.1.weight"], sd[f"{ref}.cpe.1.bias"]
+                ),
+                "LayerNorm_0": _ln(sd, f"{ref}.cpe.2"),
+            },
+            "norm1": _ln(sd, f"{ref}.norm1.0"),
+            "attn": {
+                "qkv": _dense(
+                    sd[f"{ref}.attn.qkv.weight"],
+                    sd.get(f"{ref}.attn.qkv.bias"),
+                ),
+                "proj": _dense(
+                    sd[f"{ref}.attn.proj.weight"],
+                    sd[f"{ref}.attn.proj.bias"],
+                ),
+            },
+            "norm2": _ln(sd, f"{ref}.norm2.0"),
+            "mlp": {
+                "Dense_0": _dense(
+                    sd[f"{ref}.mlp.0.fc1.weight"],
+                    sd[f"{ref}.mlp.0.fc1.bias"],
+                ),
+                "Dense_1": _dense(
+                    sd[f"{ref}.mlp.0.fc2.weight"],
+                    sd[f"{ref}.mlp.0.fc2.bias"],
+                ),
+            },
+        }
+        if f"{ref}.attn.rpe.rpe_table" in sd:
+            p["attn"]["rpe_table"] = np.asarray(
+                sd[f"{ref}.attn.rpe.rpe_table"], np.float32
+            )
+        return p
+
+    for name in t_back:
+        if name.startswith("enc") and "_block" in name:
+            s, i = name.replace("enc", "").split("_block")
+            ref = f"backbone.enc.enc{s}.block{i}"
+            bp[name] = block(ref)
+        elif name.startswith("dec") and "_block" in name:
+            s, i = name.replace("dec", "").split("_block")
+            ref = f"backbone.dec.dec{s}.block{i}"
+            bp[name] = block(ref)
+        elif name.endswith("_down"):
+            s = name[3:-5]
+            ref = f"backbone.enc.enc{s}.down"
+            bp[name] = {
+                "proj": _dense(
+                    sd[f"{ref}.proj.weight"], sd[f"{ref}.proj.bias"]
+                ),
+                "norm": _bn_params(sd, f"{ref}.norm.0"),
+            }
+            bs[name] = {"norm": _bn_stats(sd, f"{ref}.norm.0")}
+        elif name.endswith("_up"):
+            s = name[3:-3]
+            ref = f"backbone.dec.dec{s}.up"
+            bp[name] = {
+                "proj": _dense(
+                    sd[f"{ref}.proj.0.weight"], sd[f"{ref}.proj.0.bias"]
+                ),
+                "norm": _bn_params(sd, f"{ref}.proj.1"),
+                "proj_skip": _dense(
+                    sd[f"{ref}.proj_skip.0.weight"],
+                    sd[f"{ref}.proj_skip.0.bias"],
+                ),
+                "norm_skip": _bn_params(sd, f"{ref}.proj_skip.1"),
+            }
+            bs[name] = {
+                "norm": _bn_stats(sd, f"{ref}.proj.1"),
+                "norm_skip": _bn_stats(sd, f"{ref}.proj_skip.1"),
+            }
+
     for head, ref in (
         ("semantic_head", "semantic_linear"),
         ("offset_head", "offset_linear"),
