@@ -343,3 +343,21 @@ class TestQSMOracle:
                 (low["startY"] + low["endY"]) / 2,
             )
             assert float(xy.median()) < 0.25
+
+        # Projection-distance distribution parity (the metric that
+        # matters downstream — Evaluate_preds_on_qsm.py:54-151): project
+        # the SAME cloud onto both fitted skeletons and require
+        # distribution-level agreement of cloud->QSM surface distances.
+        from treemorph_tpu.evaluation.qsm_eval import project_on_qsm
+
+        d_ref = project_on_qsm(points, ref)
+        d_our = project_on_qsm(points, ours)
+        med_ref, med_our = np.median(d_ref), np.median(d_our)
+        p90_ref, p90_our = (
+            np.quantile(d_ref, 0.9), np.quantile(d_our, 0.9)
+        )
+        # a few mm on a ~10 m synthetic tree with ~4 mm surface noise
+        assert abs(med_our - med_ref) < 0.005, (med_our, med_ref)
+        assert abs(p90_our - p90_ref) < 0.010, (p90_our, p90_ref)
+        # both skeletons explain the cloud to within sensor noise scale
+        assert med_our < 0.02 and med_ref < 0.02
