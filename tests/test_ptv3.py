@@ -744,3 +744,61 @@ class TestDedup:
             np.isfinite(np.asarray(l)).all()
             for l in jax.tree_util.tree_leaves(g)
         )
+
+    def test_zpack_stem_matches_gather_stem(self, rng):
+        args = self._dup_batch(rng, n=512, copies=2)
+        outs = []
+        for engine in ("gather", "zpack"):
+            model = PointTransformerWithHeads(
+                dim_feat=4, use_feats=True, voxel_size=0.05,
+                dedup_divisor=2, stem_engine=engine, **TINY
+            )
+            var = model.init(jax.random.key(0), *args, False)
+            out = model.apply(var, *args, False)
+            assert int(out["dedup_overflow"]) == 0
+            outs.append(np.asarray(out["offset_predictions"]))
+        # same weights tensor, fp accumulation order differs (k^2 packed
+        # dots vs k^3 row dots)
+        np.testing.assert_allclose(outs[0], outs[1], atol=2e-3)
+
+
+class TestBF16Compute:
+    """compute_dtype='bfloat16' runs attention/MLP matmuls in bf16."""
+
+    def test_close_to_f32_and_trains(self, flat_batch):
+        args = (
+            flat_batch["coords"],
+            flat_batch["feats"],
+            flat_batch["batch_ids"],
+            flat_batch["mask_valid"],
+        )
+        outs = {}
+        for dt in ("float32", "bfloat16"):
+            model = PointTransformerWithHeads(
+                dim_feat=4, use_feats=True, compute_dtype=dt, **TINY
+            )
+            var = model.init(jax.random.key(0), *args, False)
+            out = model.apply(var, *args, False)
+            o = np.asarray(out["offset_predictions"])
+            assert o.dtype == np.float32
+            assert np.isfinite(o).all()
+            outs[dt] = o
+
+            def loss_fn(p):
+                out, _ = model.apply(
+                    {"params": p, "batch_stats": var["batch_stats"]},
+                    *args, train=True, mutable=["batch_stats"],
+                )
+                return ptv3_loss(out, flat_batch)[0]
+
+            g = jax.grad(loss_fn)(var["params"])
+            assert all(
+                np.isfinite(np.asarray(l)).all()
+                and np.asarray(l).dtype == np.float32
+                for l in jax.tree_util.tree_leaves(g)
+            )
+        # identical f32 params; differs only by matmul rounding
+        scale = np.abs(outs["float32"]).mean()
+        assert np.abs(outs["float32"] - outs["bfloat16"]).mean() < (
+            0.1 * scale + 1e-3
+        )

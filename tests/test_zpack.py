@@ -278,3 +278,45 @@ class TestZPackConv:
         np.testing.assert_allclose(
             np.asarray(cw), np.asarray(aw), rtol=1e-4, atol=1e-4
         )
+
+
+class TestModelIntegration:
+    def test_treelearn_zpack_engine_forward(self, rng):
+        """engine='zpack' matches engine='gather' with the SAME params
+        (checkpoint-interchangeable: zpack reuses the gather blocks)."""
+        from treemorph_tpu.models.treelearn import TreeLearn
+
+        n = 512
+        pts = rng.normal(size=(n, 3)).astype(np.float32) * 2.0
+        feats = rng.normal(size=(n, 4)).astype(np.float32)
+        batch_ids = np.zeros(n, np.int32)
+        valid = np.ones(n, bool)
+        valid[-40:] = False
+
+        kwargs = dict(
+            channels=8, num_blocks=2, dim_feat=4, voxel_size=0.3,
+            batch_size=1,
+        )
+        args = (
+            jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(batch_ids),
+            jnp.asarray(valid),
+        )
+        mg = TreeLearn(engine="gather", **kwargs)
+        vars_g = mg.init(jax.random.PRNGKey(0), *args, train=False)
+        out_g = mg.apply(vars_g, *args, train=False)
+
+        mz = TreeLearn(engine="zpack", **kwargs)
+        vars_z = mz.init(jax.random.PRNGKey(0), *args, train=False)
+        assert jax.tree_util.tree_structure(
+            vars_g
+        ) == jax.tree_util.tree_structure(vars_z)
+        out_z = mz.apply(vars_g, *args, train=False)
+
+        for key in ("offset_predictions", "semantic_prediction_logits"):
+            np.testing.assert_allclose(
+                np.asarray(out_z[key]),
+                np.asarray(out_g[key]),
+                rtol=2e-4, atol=2e-4,
+            )
+        assert int(out_z["dropped_points"]) == 0
+        assert int(out_z["dropped_voxels"]) == int(out_g["dropped_voxels"])

@@ -38,10 +38,13 @@ import jax.numpy as jnp
 
 from ..ops.serialization import encode
 from ..ops.sparse import (
+    ZPlan,
     build_dedup,
     build_rulebook,
     build_table,
+    build_zplan,
     subm_conv_apply,
+    subm_conv_zpack_apply,
 )
 from .loss import point_wise_loss
 from .treelearn import MaskedBatchNorm, MLPHead
@@ -334,6 +337,11 @@ class SerializedAttention(nn.Module):
     #: attention through the einsum path — the Pallas kernel takes no
     #: score bias.
     enable_rpe: bool = False
+    #: matmul compute dtype for qkv/proj and the q/k/v tensors fed to
+    #: the window kernel ('bfloat16' = MXU rate + half the VMEM DMA
+    #: bytes). Params stay float32; scores/softmax stay float32 inside
+    #: both kernels.
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, ps: PointSet, train: bool):
@@ -343,11 +351,14 @@ class SerializedAttention(nn.Module):
         p = ps.feat.shape[0]
         assert p % k == 0, f"point count {p} not divisible by patch {k}"
         d = c // h
+        dt = jnp.dtype(self.compute_dtype)
 
         order = ps.orders[self.order_index]
         inverse = ps.inverses[self.order_index]
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(ps.feat)
+        qkv = nn.Dense(
+            3 * c, use_bias=self.qkv_bias, dtype=dt, name="qkv"
+        )(ps.feat)
         qkv_sorted = qkv[order]
 
         if self.pad_per_element:
@@ -366,7 +377,7 @@ class SerializedAttention(nn.Module):
             seg = jnp.where(v_sorted, b_sorted, -1).astype(jnp.int32)
 
         qkv_w = qkv_eff.reshape(p_eff // k, k, 3, h, d)
-        q, kk, v = jnp.moveaxis(qkv_w, 2, 0).astype(jnp.float32)
+        q, kk, v = jnp.moveaxis(qkv_w, 2, 0).astype(dt)
         q = jnp.moveaxis(q, 2, 1)  # (W, H, K, D)
         kk = jnp.moveaxis(kk, 2, 1)
         v = jnp.moveaxis(v, 2, 1)
@@ -412,20 +423,22 @@ class SerializedAttention(nn.Module):
             # that invalid rows carry ~zero features
             out = out[unpad] * ps.valid[order][:, None]
         out = out[inverse]
-        out = nn.Dense(c, name="proj")(out)
-        return out
+        out = nn.Dense(c, dtype=dt, name="proj")(out)
+        return out.astype(jnp.float32)
 
 
 class FeedForward(nn.Module):
     channels: int
     mlp_ratio: float = 4.0
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.channels * self.mlp_ratio)
-        x = nn.Dense(hidden)(x)
+        dt = jnp.dtype(self.compute_dtype)
+        x = nn.Dense(hidden, dtype=dt)(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.channels)(x)
+        return nn.Dense(self.channels, dtype=dt)(x).astype(jnp.float32)
 
 
 def _dedup_broadcast(x_u, dedup):
@@ -454,7 +467,10 @@ class CPE(nn.Module):
         self, feat, rulebook, valid, train=False, cond=(0, None),
         dedup=None,
     ):
-        k = rulebook.shape[1]
+        if isinstance(rulebook, ZPlan):
+            k = int(round(rulebook.ext.shape[1] ** 0.5)) ** 3
+        else:
+            k = rulebook.shape[1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
@@ -487,6 +503,7 @@ class PTv3Block(nn.Module):
     num_elements: int | None = None
     enable_rpe: bool = False
     pdnorm: PDNormSpec | None = None
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -510,6 +527,7 @@ class PTv3Block(nn.Module):
             pad_per_element=self.pad_per_element,
             num_elements=self.num_elements,
             enable_rpe=self.enable_rpe,
+            compute_dtype=self.compute_dtype,
             name="attn",
         )(ps._replace(feat=x), train)
         x = DropPath(self.drop_path)(x, train)
@@ -519,7 +537,10 @@ class PTv3Block(nn.Module):
         x = _norm_ln(
             self.pdnorm, self.channels, "norm2", feat, ps.valid, train, cond
         )
-        x = FeedForward(self.channels, self.mlp_ratio, name="mlp")(x)
+        x = FeedForward(
+            self.channels, self.mlp_ratio,
+            compute_dtype=self.compute_dtype, name="mlp",
+        )(x)
         x = DropPath(self.drop_path)(x, train)
         feat = shortcut + x
         return ps._replace(feat=feat)
@@ -705,10 +726,16 @@ class SerializedUnpooling(nn.Module):
 
 
 class Embedding(nn.Module):
-    """k=5 submanifold conv stem + BN + GELU (reference blocks.py:770-800)."""
+    """k=5 submanifold conv stem + BN + GELU (reference blocks.py:770-800).
+
+    ``engine='zpack'`` (requires ``dedup``: the unique-voxel set is
+    lex-sorted, the z-pack invariant) runs the k=5 conv as 25 plane
+    gathers of z-packed rows instead of 124 row gathers — same weights,
+    spconv math up to fp accumulation order (k^2 packed dots)."""
 
     channels: int
     pdnorm: PDNormSpec | None = None
+    engine: str = "gather"
 
     @nn.compact
     def __call__(
@@ -721,11 +748,19 @@ class Embedding(nn.Module):
             (125, ps.feat.shape[-1], self.channels),
         )
         if dedup is not None:
-            rulebook = build_rulebook(
-                dedup.coords, dedup.valid, 5, table=table
-            )
             u_feat = ps.feat[dedup.rows] * dedup.valid[:, None]
-            x_u = subm_conv_apply(u_feat, w, rulebook, dedup.valid)
+            if self.engine == "zpack":
+                plan = build_zplan(
+                    dedup.coords, dedup.valid, 5, table=table
+                )
+                x_u = subm_conv_zpack_apply(
+                    u_feat, w, plan, dedup.valid
+                )
+            else:
+                rulebook = build_rulebook(
+                    dedup.coords, dedup.valid, 5, table=table
+                )
+                x_u = subm_conv_apply(u_feat, w, rulebook, dedup.valid)
             x = _dedup_broadcast(x_u, dedup)
         else:
             coords4 = jnp.concatenate(
@@ -775,6 +810,14 @@ class PointTransformerV3(nn.Module):
     #: see ops.sparse.DedupMap). Static unique-voxel cap = P // divisor;
     #: overflow is counted in the output diagnostics. None = off.
     dedup_divisor: int | None = None
+    #: 'gather' (default) or 'zpack': engine for ALL level-0 convs (the
+    #: k=5 stem and every L0 xCPE). zpack needs the lex-sort invariant,
+    #: so it requires dedup_divisor; same weights, spconv math up to fp
+    #: accumulation order.
+    stem_engine: str = "gather"
+    #: 'bfloat16' runs attention qkv/proj + MLP matmuls at MXU bf16
+    #: rate (params and norms stay float32; softmax stays float32).
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -824,9 +867,11 @@ class PointTransformerV3(nn.Module):
             table0 = build_table(dd.coords, dd.valid)
         else:
             table0 = build_table(coords4_0, ps.valid)
-        ps = Embedding(self.enc_channels[0], self.pdnorm, name="embedding")(
-            ps, train, table=table0, cond=cond, dedup=dd
-        )
+        ps = Embedding(
+            self.enc_channels[0], self.pdnorm,
+            engine=self.stem_engine if dd is not None else "gather",
+            name="embedding",
+        )(ps, train, table=table0, cond=cond, dedup=dd)
 
         total_enc = sum(self.enc_depths)
         enc_dp = [
@@ -864,11 +909,18 @@ class PointTransformerV3(nn.Module):
                 ps = coarse
             if s == 0 and dd is not None:
                 # pooled levels (code>>3 clusters) are duplicate-free;
-                # only level 0 carries per-point duplicates
+                # only level 0 carries per-point duplicates. The unique
+                # set is lex-sorted, so the z-pack engine applies (the
+                # plan serves every L0 xCPE, encoder and decoder).
                 level_dd = dd
-                rulebook = build_rulebook(
-                    dd.coords, dd.valid, 3, table=table0
-                )
+                if self.stem_engine == "zpack":
+                    rulebook = build_zplan(
+                        dd.coords, dd.valid, 3, table=table0
+                    )
+                else:
+                    rulebook = build_rulebook(
+                        dd.coords, dd.valid, 3, table=table0
+                    )
             else:
                 level_dd = None
                 coords4 = jnp.concatenate(
@@ -889,6 +941,7 @@ class PointTransformerV3(nn.Module):
                     num_elements=self.num_elements,
                     enable_rpe=self.enable_rpe,
                     pdnorm=self.pdnorm,
+                    compute_dtype=self.compute_dtype,
                     name=f"enc{s}_block{i}",
                 )(ps, rulebook, train, cond=cond, dedup=level_dd)
                 dp_i += 1
@@ -918,6 +971,7 @@ class PointTransformerV3(nn.Module):
                     num_elements=self.num_elements,
                     enable_rpe=self.enable_rpe,
                     pdnorm=self.pdnorm,
+                    compute_dtype=self.compute_dtype,
                     name=f"dec{s}_block{i}",
                 )(ps, rulebook, train, cond=cond, dedup=level_dd)
         diag = {
@@ -953,6 +1007,14 @@ class PointTransformerWithHeads(nn.Module):
     #: see ops.sparse.DedupMap). Static unique-voxel cap = P // divisor;
     #: overflow is counted in the output diagnostics. None = off.
     dedup_divisor: int | None = None
+    #: 'gather' (default) or 'zpack': engine for ALL level-0 convs (the
+    #: k=5 stem and every L0 xCPE). zpack needs the lex-sort invariant,
+    #: so it requires dedup_divisor; same weights, spconv math up to fp
+    #: accumulation order.
+    stem_engine: str = "gather"
+    #: 'bfloat16' runs attention qkv/proj + MLP matmuls at MXU bf16
+    #: rate (params and norms stay float32; softmax stays float32).
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -986,6 +1048,8 @@ class PointTransformerWithHeads(nn.Module):
             pdnorm=self.pdnorm,
             pool_shrink=self.pool_shrink,
             dedup_divisor=self.dedup_divisor,
+            stem_engine=self.stem_engine,
+            compute_dtype=self.compute_dtype,
             name="backbone",
         )(coords, feats, batch_ids, valid, train, shuffle_rng,
           condition, context)

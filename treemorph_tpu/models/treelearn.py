@@ -50,6 +50,7 @@ from ..ops.sparse import (
     DownsampleMap,
     build_downsample,
     build_rulebook,
+    build_zplan,
     down_conv_apply,
     inverse_conv_apply,
     subm_conv_apply,
@@ -328,6 +329,12 @@ class UBlock(nn.Module):
             )
             flat_mask = ps.cell_active.reshape(-1) > 0
             return ("pencil", ps, flat_mask), ps.overflow
+        if self.engine == "zpack" and self.kernel_size == 3:
+            # same gather-path blocks; subm_conv_apply dispatches ZPlan
+            plan = build_zplan(
+                coords, valid, 3, verify_coords=self.verify_coords
+            )
+            return ("gather", plan), jnp.int32(0)
         if self.engine == "brick" and self.kernel_size == 3:
             m = coords.shape[0]
             cap = max(m // self.brick_divisor, 64)
@@ -475,7 +482,9 @@ class TreeLearnBackbone(nn.Module):
     voxel_size: float = 0.1
     batch_size: int = 1  # static batch element count
     voxel_capacity_divisor: int = 1
-    engine: str = "gather"  # 'pencil' (fast), 'brick', or 'gather'
+    #: 'pencil' (fast), 'zpack' (banded z-pack rows, no pencil padding),
+    #: 'brick', or 'gather'
+    engine: str = "gather"
     brick_divisor: int = 4
     pencil_divisor: int = 1
     pencil_cells: int = 4
@@ -520,10 +529,16 @@ class TreeLearnBackbone(nn.Module):
                 vox.voxel_feats, bs, active, v_valid
             )
         else:
-            rulebook = build_rulebook(
-                v_coords, v_valid, self.kernel_size,
-                verify_coords=self.verify_coords,
-            )
+            if self.engine == "zpack" and self.kernel_size == 3:
+                rulebook = build_zplan(
+                    v_coords, v_valid, 3,
+                    verify_coords=self.verify_coords,
+                )
+            else:
+                rulebook = build_rulebook(
+                    v_coords, v_valid, self.kernel_size,
+                    verify_coords=self.verify_coords,
+                )
             x = SubMConv(
                 self.channels,
                 self.kernel_size,
