@@ -96,12 +96,14 @@ def main():
               f"ms/fwd)", flush=True)
         return ref
 
-    ref = bench("gather", vdiv=4)
-    bench("gather", vdiv=5)
-    got = bench("pencil", pencil_divisor=4)
-    err = np.abs(got - ref).max()
-    print(f"  pencil(div=4,cells=4) vs gather max|diff| = {err:.2e}",
+    ref = bench("gather", vdiv=5)
+    got = bench("zpack", vdiv=5)
+    print(f"  zpack vs gather max|diff| = {np.abs(got - ref).max():.2e}",
           flush=True)
+    bench("zpack", vdiv=5, conv_dtype="bfloat16")
+    got = bench("pencil", pencil_divisor=4)
+    print(f"  pencil(div=4,cells=4) vs gather max|diff| = "
+          f"{np.abs(got - ref).max():.2e}", flush=True)
 
 
 if __name__ == "__main__":

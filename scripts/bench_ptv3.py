@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--trees", type=int, default=1)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--profile", default=None)
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="compare {gather,zpack stem} x {f32,bf16} variants",
+    )
     args = ap.parse_args()
 
     import jax
@@ -65,6 +69,47 @@ def main():
     feats = jnp.asarray(feats)
     batch_ids = jnp.asarray(batch_ids)
     valid = jnp.ones(b * n, bool)
+
+    if args.sweep:
+        ref = None
+        for kw in (
+            dict(pool_shrink=4, dedup_divisor=4),
+            dict(pool_shrink=4, dedup_divisor=4, stem_engine="zpack"),
+            dict(pool_shrink=4, dedup_divisor=4,
+                 compute_dtype="bfloat16"),
+            dict(pool_shrink=4, dedup_divisor=4, stem_engine="zpack",
+                 compute_dtype="bfloat16"),
+        ):
+            m = build_model("pointtransformerv3", **kw)
+            var = jax.jit(
+                lambda r, c, f, bi, v, m=m: m.init(
+                    r, c, f, bi, v, train=False
+                )
+            )(jax.random.key(0), coords, feats, batch_ids, valid)
+
+            fwd = jax.jit(
+                lambda var, c, f, bi, v, m=m: m.apply(
+                    var, c, f, bi, v, train=False
+                )["offset_predictions"]
+            )
+            out = np.asarray(fwd(var, coords, feats, batch_ids, valid))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = [fwd(var, coords, feats, batch_ids, valid)
+                        for _ in range(args.iters)]
+                float(outs[-1][0, 0])
+                best = min(best, time.perf_counter() - t0)
+            pps = b * n * args.iters / best
+            diff = 0.0 if ref is None else float(np.abs(out - ref).max())
+            if ref is None:
+                ref = out
+            print(
+                f"{kw}: {pps/1e6:.3f}M pts/s "
+                f"({best/args.iters*1e3:.1f} ms) max|diff|={diff:.2e}",
+                flush=True,
+            )
+        return
 
     model = build_model("pointtransformerv3")
     t0 = time.perf_counter()

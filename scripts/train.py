@@ -88,7 +88,7 @@ def parse_args():
     return p.parse_args()
 
 
-def build(args, batch_size: int):
+def build(args, batch_size: int, axis_name=None):
     from treemorph_tpu.models import PointNet2, TreeLearn
     from treemorph_tpu.models.ptv3 import PointTransformerWithHeads
     from treemorph_tpu.train import families
@@ -110,7 +110,8 @@ def build(args, batch_size: int):
             else families.treelearn_family
         )
         fam = family_fn(
-            model, args.loss_multiplier_semantic, args.loss_multiplier_offset
+            model, args.loss_multiplier_semantic,
+            args.loss_multiplier_offset, axis_name=axis_name,
         )
         init = families.init_treelearn
     elif args.model == "pointtransformerv3":
@@ -121,13 +122,15 @@ def build(args, batch_size: int):
             dedup_divisor=args.dedup_divisor,
         )
         fam = families.ptv3_family(
-            model, args.loss_multiplier_semantic, args.loss_multiplier_offset
+            model, args.loss_multiplier_semantic,
+            args.loss_multiplier_offset, axis_name=axis_name,
         )
         init = families.init_ptv3
     else:
         model = PointNet2(depth=args.depth, dim_feat=args.dim_feat)
         fam = families.pointnet2_family(
-            model, args.loss_multiplier_semantic, args.loss_multiplier_offset
+            model, args.loss_multiplier_semantic,
+            args.loss_multiplier_offset, axis_name=axis_name,
         )
         init = families.init_pointnet2
     return model, fam, init
@@ -292,22 +295,23 @@ def main():
                     valset, args.batch_size, args.bucket, shuffle=False
                 )
         model, (forward_fn, loss_fn), init_fn = build(
-            args, example.batch_size
+            args, example.batch_size,
+            axis_name="data" if mesh is not None else None,
         )
         variables = init_fn(model, example, jax.random.key(args.seed))
         fixed = tuple(args.fixed_modules or ())
         tx = make_optimizer(args.weight_decay, fixed_modules=fixed)
         state = create_train_state(variables, tx)
         train_step = make_train_step(
-            forward_fn, loss_fn, tx, fixed_modules=fixed
+            forward_fn, loss_fn, tx, fixed_modules=fixed, mesh=mesh
         )
-        eval_step = make_eval_step(forward_fn, loss_fn)
+        eval_step = make_eval_step(forward_fn, loss_fn, mesh=mesh)
         accum_steps = None
         if hierarchical and not args.per_minibatch_steps:
             from treemorph_tpu.train.harness import make_accum_steps
 
             accum_steps = make_accum_steps(
-                forward_fn, loss_fn, tx, fixed_modules=fixed
+                forward_fn, loss_fn, tx, fixed_modules=fixed, mesh=mesh
             )
 
         ckpt_path = os.path.join(args.save_dir, f"{name}_CV", f"P{plot}")

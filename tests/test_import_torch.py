@@ -297,3 +297,25 @@ class TestTreeLearnImport:
             )
         )
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_permute_spconv_axes_roundtrip_and_selectivity():
+    """'zyx' transposes every 5-D spconv weight's spatial axes (its own
+    inverse) and leaves non-conv entries untouched (ADVICE r2 #2)."""
+    from treemorph_tpu.train.import_torch import permute_spconv_axes
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(4, 3, 3, 3, 2)).astype(np.float32)
+    lin = rng.normal(size=(4, 8)).astype(np.float32)
+    sd = {"conv.weight": w, "linear.weight": lin}
+
+    out = permute_spconv_axes(sd, "zyx")
+    np.testing.assert_array_equal(
+        out["conv.weight"], np.transpose(w, (0, 3, 2, 1, 4))
+    )
+    np.testing.assert_array_equal(out["linear.weight"], lin)
+    # zyx is an involution
+    back = permute_spconv_axes(out, "zyx")
+    np.testing.assert_array_equal(back["conv.weight"], w)
+    # identity order is a no-op passthrough
+    assert permute_spconv_axes(sd, "xyz") is sd

@@ -1,0 +1,122 @@
+"""Sharding-spec proof for the data-parallel train step (VERDICT r2 #8).
+
+CPU wall-clock cannot show weak scaling, so instead we assert the
+*compiled program* has the right structure on the 8-device mesh: the
+gradient/loss reductions are the ONLY collectives (all-reduce family),
+no all-gather / all-to-all / permute appears, and the updated
+parameters stay fully replicated. Plain GSPMD fails this: the flat
+point list spans the global batch, so XLA all-gathers it and REPLICATES
+every voxelize/dedup sort on all devices — the shard_map step in
+make_train_step(mesh=...) keeps those local, which is what weak-scales
+over ICI on real hardware.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from treemorph_tpu.models import TreeLearn
+from treemorph_tpu.parallel import make_mesh
+from treemorph_tpu.parallel.mesh import (
+    pad_batch_to_multiple,
+    replicate,
+    shard_batch,
+)
+from treemorph_tpu.train import create_train_state, make_train_step
+from treemorph_tpu.train import families
+from treemorph_tpu.train.harness import make_optimizer
+
+
+def _collective_ops(hlo: str) -> dict:
+    """Count collective ops in compiled (post-SPMD-partitioning) HLO."""
+    counts = {}
+    for name in (
+        "all-reduce",
+        "all-gather",
+        "all-to-all",
+        "collective-permute",
+        "reduce-scatter",
+    ):
+        counts[name] = len(re.findall(rf"= \S*{name}", hlo)) + len(
+            re.findall(rf"\b{name}\(", hlo)
+        )
+    return counts
+
+
+@pytest.mark.slow
+def test_dp_train_step_collective_structure_and_parity():
+    import __graft_entry__ as ge
+
+    n = 8
+    assert jax.device_count() >= n
+    mesh = make_mesh(n)
+    batch = ge._example_batch(n_samples=n, n_points=128, bucket=128)
+    batch = pad_batch_to_multiple(batch, n)
+    sharded = shard_batch(batch, mesh)
+
+    model = TreeLearn(
+        channels=8, num_blocks=2, dim_feat=4, voxel_size=0.05,
+        batch_size=batch.batch_size,
+    )
+    variables = families.init_treelearn(model, batch, jax.random.key(0))
+    tx = make_optimizer()
+    state = replicate(create_train_state(variables, tx), mesh)
+    forward_fn, loss_fn = families.treelearn_family(
+        model, axis_name="data"
+    )
+    train_step = make_train_step(forward_fn, loss_fn, tx, mesh=mesh)
+
+    compiled = train_step.lower(
+        state, sharded, jnp.float32(1e-3), jax.random.key(1)
+    ).compile()
+    counts = _collective_ops(compiled.as_text())
+
+    # the gradient/loss psum must exist...
+    assert counts["all-reduce"] > 0, counts
+    # ...and be the ONLY cross-device communication: an all-gather /
+    # all-to-all / permute would mean data got resharded (e.g. the flat
+    # point list re-globalized for a replicated sort)
+    for bad in ("all-gather", "all-to-all", "collective-permute"):
+        assert counts[bad] == 0, (bad, counts)
+
+    new_state, metrics = compiled(
+        state, sharded, jnp.float32(1e-3), jax.random.key(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay fully replicated (no implicit resharding of the carry)
+    for leaf in jax.tree_util.tree_leaves(new_state.params):
+        spec = leaf.sharding.spec
+        assert all(axis is None for axis in spec), spec
+    # and the batch really is spread over all 8 devices
+    assert len({d.id for d in sharded.coords.sharding.device_set}) == n
+
+    # numeric parity: the sharded step approximates the single-device
+    # step on the identical global batch. The loss reductions are exact
+    # (psum'd num/den); the remaining deviation is BatchNorm normalizing
+    # with per-shard batch statistics instead of global ones — the torch
+    # DDP default (non-sync BN), documented on make_train_step.
+    # TreeLearn's forward ignores rng, so fold_in does not bite here.
+    fwd1, loss1 = families.treelearn_family(model)
+    step1 = make_train_step(fwd1, loss1, tx)
+    state1 = create_train_state(variables, tx)
+    new_state1, metrics1 = step1(
+        state1, jax.tree.map(jnp.asarray, batch), jnp.float32(1e-3),
+        jax.random.key(1),
+    )
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics1["loss"]), rtol=1e-2
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(new_state1.params),
+    ):
+        # one AdamW step moves params by <= lr; BN-stat differences
+        # perturb the direction slightly, never the magnitude scale
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2.5e-3
+        )

@@ -24,3 +24,19 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Restore standard jax env-var behavior: some sandboxes register a
+    # TPU PJRT plugin via sitecustomize that ignores JAX_PLATFORMS, so a
+    # CLI subprocess launched with JAX_PLATFORMS=cpu (the test suite, CI)
+    # would still initialize the TPU backend — and HANG if the device
+    # tunnel is down. Explicitly honoring the env var keeps every entry
+    # point runnable where the caller said.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # backends already initialized — caller's choice
+        pass

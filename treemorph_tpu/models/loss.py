@@ -30,12 +30,19 @@ def point_wise_loss(
     offset_mask: jax.Array,  # (...,) bool — valid & near-surface points
     n_points: int | None = None,
     rng: jax.Array | None = None,
+    axis_name: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (semantic_loss, offset_loss) scalars (float32).
 
     ``n_points``: optional random subsample of the loss points (reference
     ``Loss.py:9-13``), implemented as random mask thinning so shapes stay
     static; requires ``rng``.
+
+    ``axis_name``: when the caller runs under ``shard_map`` (data-parallel
+    training, one batch shard per device), numerator and denominator of
+    each masked mean are ``psum``-ed over that mesh axis, so the result is
+    EXACTLY the single-device loss over the concatenated global batch —
+    per-shard means weighted by per-shard counts would not be.
     """
     semantic_logits = semantic_logits.astype(jnp.float32)
     offset_predictions = offset_predictions.astype(jnp.float32)
@@ -52,12 +59,19 @@ def point_wise_loss(
     labels = semantic_labels.reshape(-1).astype(jnp.int32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
-    semantic_loss = jnp.sum(ce * sem_w) / jnp.maximum(jnp.sum(sem_w), 1.0)
+    sem_num, sem_den = jnp.sum(ce * sem_w), jnp.sum(sem_w)
 
     diff = offset_predictions.reshape(-1, 3) - offset_labels.reshape(-1, 3)
     sq = jnp.sum(diff * diff, axis=-1)
     dist = jnp.sqrt(jnp.clip(sq, EPS, None))
-    offset_loss = jnp.sum(dist * off_w) / jnp.maximum(jnp.sum(off_w), 1.0)
+    off_num, off_den = jnp.sum(dist * off_w), jnp.sum(off_w)
+
+    if axis_name is not None:
+        sem_num, sem_den, off_num, off_den = jax.lax.psum(
+            (sem_num, sem_den, off_num, off_den), axis_name
+        )
+    semantic_loss = sem_num / jnp.maximum(sem_den, 1.0)
+    offset_loss = off_num / jnp.maximum(off_den, 1.0)
 
     return semantic_loss, offset_loss
 

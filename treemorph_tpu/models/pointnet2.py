@@ -261,6 +261,7 @@ def pointnet2_loss(
     loss_multiplier_offset: float = 1.0,
     n_points: int | None = None,
     rng: jax.Array | None = None,
+    axis_name: str | None = None,
 ):
     """Masked loss over a PaddedBatch (reference PointNet2.py:180-207)."""
     sem_loss, off_loss = point_wise_loss(
@@ -272,6 +273,7 @@ def pointnet2_loss(
         offset_mask=batch.mask_valid & batch.mask_off,
         n_points=n_points,
         rng=rng,
+        axis_name=axis_name,
     )
     loss_dict = {
         "semantic_loss": sem_loss * loss_multiplier_semantic,

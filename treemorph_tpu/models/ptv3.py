@@ -1072,6 +1072,7 @@ def ptv3_loss(
     flat_batch: dict,
     loss_multiplier_semantic: float = 1.0,
     loss_multiplier_offset: float = 1.0,
+    axis_name: str | None = None,
 ):
     """Masked loss (reference PointTransformerV3.py:102-110)."""
     sem_loss, off_loss = point_wise_loss(
@@ -1081,6 +1082,7 @@ def ptv3_loss(
         flat_batch["offset_labels"],
         semantic_mask=flat_batch["mask_valid"],
         offset_mask=flat_batch["mask_valid"] & flat_batch["mask_off"],
+        axis_name=axis_name,
     )
     loss_dict = {
         "semantic_loss": sem_loss * loss_multiplier_semantic,

@@ -667,6 +667,7 @@ def treelearn_loss(
     loss_multiplier_offset: float = 1.0,
     n_points: int | None = None,
     rng: jax.Array | None = None,
+    axis_name: str | None = None,
 ):
     """Masked loss over the flat layout (reference TreeLearn.py:147-155)."""
     sem_loss, off_loss = point_wise_loss(
@@ -678,6 +679,7 @@ def treelearn_loss(
         offset_mask=flat_batch["mask_valid"] & flat_batch["mask_off"],
         n_points=n_points,
         rng=rng,
+        axis_name=axis_name,
     )
     loss_dict = {
         "semantic_loss": sem_loss * loss_multiplier_semantic,

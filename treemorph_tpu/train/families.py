@@ -23,8 +23,13 @@ def pointnet2_family(
     model: PointNet2,
     loss_multiplier_semantic: float = 1.0,
     loss_multiplier_offset: float = 1.0,
+    axis_name: str | None = None,
 ) -> tuple[Callable, Callable]:
-    """(forward_fn, loss_fn) for the harness, PointNet2 flavor."""
+    """(forward_fn, loss_fn) for the harness, PointNet2 flavor.
+
+    ``axis_name``: set when the step runs under ``shard_map`` so the
+    masked-mean losses reduce over the global batch (see
+    :func:`treemorph_tpu.models.loss.point_wise_loss`)."""
 
     def forward_fn(params, batch_stats, batch, train, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -54,6 +59,7 @@ def pointnet2_family(
             batch,
             loss_multiplier_semantic=loss_multiplier_semantic,
             loss_multiplier_offset=loss_multiplier_offset,
+            axis_name=axis_name,
         )
 
     return forward_fn, loss_fn
@@ -92,6 +98,7 @@ def treelearn_family(
     model: TreeLearn,
     loss_multiplier_semantic: float = 1.0,
     loss_multiplier_offset: float = 1.0,
+    axis_name: str | None = None,
 ) -> tuple[Callable, Callable]:
     """(forward_fn, loss_fn) for the harness, TreeLearn flavor.
 
@@ -121,6 +128,7 @@ def treelearn_family(
             _flatten_padded(batch),
             loss_multiplier_semantic=loss_multiplier_semantic,
             loss_multiplier_offset=loss_multiplier_offset,
+            axis_name=axis_name,
         )
 
     return forward_fn, loss_fn
@@ -152,6 +160,7 @@ def treelearn_noise_family(
     model: TreeLearn,
     loss_multiplier_semantic: float = 1.0,
     loss_multiplier_offset: float = 1.0,
+    axis_name: str | None = None,
 ) -> tuple[Callable, Callable]:
     """TreeLearn with the separate noise-cloud semantic pass.
 
@@ -203,6 +212,7 @@ def treelearn_noise_family(
             flat["offset_labels"],
             semantic_mask=nflat["mask_valid"],
             offset_mask=flat["mask_valid"] & flat["mask_off"],
+            axis_name=axis_name,
         )
         loss_dict = {
             "semantic_loss": sem_loss * loss_multiplier_semantic,
@@ -233,6 +243,7 @@ def ptv3_family(
     model: PointTransformerWithHeads,
     loss_multiplier_semantic: float = 1.0,
     loss_multiplier_offset: float = 1.0,
+    axis_name: str | None = None,
 ) -> tuple[Callable, Callable]:
     """(forward_fn, loss_fn) for the harness, PTv3 flavor.
 
@@ -269,6 +280,7 @@ def ptv3_family(
             _flatten_padded(batch),
             loss_multiplier_semantic=loss_multiplier_semantic,
             loss_multiplier_offset=loss_multiplier_offset,
+            axis_name=axis_name,
         )
 
     return forward_fn, loss_fn

@@ -108,6 +108,8 @@ def make_train_step(
     loss_fn: Callable,
     tx: optax.GradientTransformation,
     fixed_modules: tuple = (),
+    mesh=None,
+    axis_name: str = "data",
 ):
     """Build the jitted train step.
 
@@ -121,11 +123,22 @@ def make_train_step(
     eval mode during training (TreeLearn.py:79-87). Deviation: the
     forward still *normalizes* with batch statistics; only the running
     stats are pinned.
+
+    With ``mesh`` the step runs under ``shard_map``: each device flattens,
+    voxelizes and differentiates ONLY its local batch shard (under plain
+    GSPMD the flat point list spans the global batch, so XLA all-gathers
+    it and REPLICATES every voxelize/dedup sort on all devices — measured
+    in tests/test_sharding_specs.py). Build the family with the same
+    ``axis_name`` so the loss means reduce globally; gradients are then
+    exact psums of local contributions of the global loss. Deviations
+    from the single-device step: BatchNorm normalizes with per-shard
+    batch statistics (torch DDP's default non-sync BN), and the running
+    stats are pmean'd across shards so the carried state stays
+    replicated; the per-device rng is fold_in(rng, axis_index).
     """
     fixed = tuple(fixed_modules)
 
-    @jax.jit
-    def train_step(state: TrainState, batch, lr, rng):
+    def _step_body(state: TrainState, batch, lr, rng):
         def compute(params):
             out, new_bs = forward_fn(
                 params, state.batch_stats, batch, True, rng
@@ -136,6 +149,9 @@ def make_train_step(
         grads, (new_bs, loss, loss_dict) = jax.grad(compute, has_aux=True)(
             state.params
         )
+        return grads, new_bs, loss, loss_dict
+
+    def _apply(state: TrainState, grads, new_bs, lr):
         if fixed and new_bs:
             new_bs = {
                 k: (state.batch_stats[k] if k in fixed else v)
@@ -144,15 +160,48 @@ def make_train_step(
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * lr, updates)
         new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
+        return TrainState(
             params=new_params,
             batch_stats=new_bs,
             opt_state=new_opt,
             step=state.step + 1,
         )
+
+    if mesh is None:
+
+        @jax.jit
+        def train_step(state: TrainState, batch, lr, rng):
+            grads, new_bs, loss, loss_dict = _step_body(
+                state, batch, lr, rng
+            )
+            new_state = _apply(state, grads, new_bs, lr)
+            return new_state, {"loss": loss, **loss_dict}
+
+        return train_step
+
+    from jax.sharding import PartitionSpec as P
+
+    def local_step(state: TrainState, batch, lr, rng):
+        # distinct per-device randomness (FPS / shuffle / droppath)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        grads, new_bs, loss, loss_dict = _step_body(state, batch, lr, rng)
+        # loss_fn psums its masked-mean num/den (families built with
+        # axis_name), so local grads are this shard's share of the
+        # GLOBAL loss gradient — their psum is exact
+        grads = jax.lax.psum(grads, axis_name)
+        if new_bs:
+            new_bs = jax.lax.pmean(new_bs, axis_name)
+        new_state = _apply(state, grads, new_bs, lr)
         return new_state, {"loss": loss, **loss_dict}
 
-    return train_step
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def make_accum_steps(
@@ -160,6 +209,8 @@ def make_accum_steps(
     loss_fn: Callable,
     tx: optax.GradientTransformation,
     fixed_modules: tuple = (),
+    mesh=None,
+    axis_name: str = "data",
 ):
     """Gradient-accumulation step pair for hierarchical streaming training.
 
@@ -176,10 +227,13 @@ def make_accum_steps(
       (initialise with ``jax.tree.map(jnp.zeros_like, state.params)``);
       batch_stats update as usual per minibatch.
     - ``apply_step(state, grads, lr) -> state`` applies one optimizer step.
+
+    With ``mesh``, ``accum_step`` runs under ``shard_map`` exactly like
+    :func:`make_train_step` (local shards, psum'd grads, pmean'd BN
+    running stats); the accumulator and ``apply_step`` stay replicated.
     """
 
-    @jax.jit
-    def accum_step(state: TrainState, batch, rng, grads):
+    def accum_body(state: TrainState, batch, rng, grads):
         def compute(params):
             out, new_bs = forward_fn(
                 params, state.batch_stats, batch, True, rng
@@ -190,6 +244,10 @@ def make_accum_steps(
         g, (new_bs, loss, loss_dict) = jax.grad(compute, has_aux=True)(
             state.params
         )
+        if mesh is not None:
+            g = jax.lax.psum(g, axis_name)
+            if new_bs:
+                new_bs = jax.lax.pmean(new_bs, axis_name)
         if fixed_modules and new_bs:
             new_bs = {
                 k: (state.batch_stats[k] if k in fixed_modules else v)
@@ -200,6 +258,25 @@ def make_accum_steps(
             state.replace(batch_stats=new_bs),
             new_grads,
             {"loss": loss, **loss_dict},
+        )
+
+    if mesh is None:
+        accum_step = jax.jit(accum_body)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        def accum_local(state, batch, rng, grads):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+            return accum_body(state, batch, rng, grads)
+
+        accum_step = jax.jit(
+            jax.shard_map(
+                accum_local,
+                mesh=mesh,
+                in_specs=(P(), P(axis_name), P(), P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
         )
 
     @jax.jit
@@ -216,14 +293,37 @@ def make_accum_steps(
     return accum_step, apply_step
 
 
-def make_eval_step(forward_fn: Callable, loss_fn: Callable):
-    @jax.jit
-    def eval_step(state: TrainState, batch):
-        out, _ = forward_fn(state.params, state.batch_stats, batch, False, None)
+def make_eval_step(
+    forward_fn: Callable,
+    loss_fn: Callable,
+    mesh=None,
+    axis_name: str = "data",
+):
+    """Jitted eval step; with ``mesh`` it runs under ``shard_map`` for
+    the same per-shard-local reasons as :func:`make_train_step` (the
+    loss psums make the metrics exactly the global masked means)."""
+
+    def eval_body(state: TrainState, batch):
+        out, _ = forward_fn(
+            state.params, state.batch_stats, batch, False, None
+        )
         loss, loss_dict = loss_fn(out, batch)
         return {"loss": loss, **loss_dict}
 
-    return eval_step
+    if mesh is None:
+        return jax.jit(eval_body)
+
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(
+        jax.shard_map(
+            eval_body,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
 
 
 def run_training(

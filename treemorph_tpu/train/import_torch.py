@@ -15,8 +15,11 @@ Layout conventions translated:
 - spconv ``SubMConv3d`` weight ``(out, k, k, k, in)`` (KRSC) -> our
   ``(k^3, in, out)`` with the same row-major (dx, dy, dz) kernel-offset
   enumeration; pass ``flip_kernel=True`` to reverse the offset order if a
-  given checkpoint's spconv build used the mirrored convention (the two
-  differ by a spatial flip that cannot be detected from shapes alone);
+  given checkpoint's spconv build used the mirrored convention, and
+  :func:`permute_spconv_axes` first if it enumerated a different spatial
+  axis ORDER (e.g. (kz, ky, kx)) — neither is detectable from shapes
+  alone, and both mappings are validated against synthetic state_dicts
+  only (spconv is not installed here);
 - spconv ``SparseConv3d`` k=2 s=2 / ``SparseInverseConv3d`` weight
   ``(out, 2, 2, 2, in)`` -> our octant-indexed ``(8, in, out)`` where
   octant = (dx << 2) | (dy << 1) | dz of the fine voxel within its
@@ -84,6 +87,32 @@ def _subm_kernel(w, flip_kernel=False):
     if flip_kernel:
         kernel = kernel[::-1]
     return np.ascontiguousarray(kernel)
+
+
+def permute_spconv_axes(sd: dict, kernel_axes: str = "xyz") -> dict:
+    """Pre-permute every spconv weight ``(out, k, k, k, in)`` in a torch
+    state_dict whose spatial enumeration order is not ``(kx, ky, kz)``.
+
+    spconv's KRSC layout leaves the spatial ORDER convention to the
+    build: a checkpoint stored as ``(kz, ky, kx)`` is shape-identical and
+    undetectable, and would silently convert to a spatially-permuted
+    conv. Pass ``kernel_axes='zyx'`` (or any permutation of ``'xyz'``)
+    for such builds, then convert as usual; composes with
+    ``flip_kernel`` (a full offset reversal) which handles the mirrored
+    enumeration instead. Validated against synthetic state_dicts only —
+    spconv itself is not installed here.
+    """
+    if kernel_axes == "xyz":
+        return sd
+    assert sorted(kernel_axes) == ["x", "y", "z"], kernel_axes
+    perm = tuple(1 + kernel_axes.index(c) for c in "xyz")
+    out = {}
+    for k, v in sd.items():
+        a = np.asarray(v)
+        if a.ndim == 5 and a.shape[1] == a.shape[2] == a.shape[3]:
+            a = np.ascontiguousarray(np.transpose(a, (0, *perm, 4)))
+        out[k] = a
+    return out
 
 
 def convert_pointnet2(sd: dict, template) -> dict:
