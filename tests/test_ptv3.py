@@ -761,6 +761,37 @@ class TestDedup:
         # dots vs k^3 row dots)
         np.testing.assert_allclose(outs[0], outs[1], atol=2e-3)
 
+    def test_zpack_trains_with_finite_grads(self, rng):
+        """Gradients flow through the z-pack stem + lex-permuted pooled
+        levels (storage permutation composes with orders/cluster)."""
+        args = self._dup_batch(rng, n=512, copies=2)
+        model = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05,
+            dedup_divisor=2, stem_engine="zpack", **TINY
+        )
+        var = model.init(jax.random.key(0), *args, False)
+        coords, feats, batch_ids, valid = args
+        labels = {
+            "semantic_labels": jnp.zeros(coords.shape[0], jnp.int32),
+            "offset_labels": jnp.zeros((coords.shape[0], 3), jnp.float32),
+            "mask_valid": valid,
+            "mask_off": valid,
+        }
+
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": var["batch_stats"]},
+                *args, train=True, shuffle_rng=jax.random.key(3),
+                mutable=["batch_stats"], rngs={"droppath": jax.random.key(4)},
+            )
+            return ptv3_loss(out, labels)[0]
+
+        g = jax.grad(loss_fn)(var["params"])
+        assert all(
+            np.isfinite(np.asarray(l)).all()
+            for l in jax.tree_util.tree_leaves(g)
+        )
+
 
 class TestBF16Compute:
     """compute_dtype='bfloat16' runs attention/MLP matmuls in bf16."""

@@ -23,7 +23,12 @@ TPU redesign:
   the reference's data-adaptive depth — orderings remain valid curves.
 - xCPE / the k=5 embedding stem reuse the hash-rulebook sparse-conv engine
   (:mod:`treemorph_tpu.ops.sparse`); the rulebook is built once per stage
-  and shared (the reference's ``cpe_indice_key``).
+  and shared (the reference's ``cpe_indice_key``). Training and inference
+  use the engine's probabilistic dual-hash lookups (false-hit ~1e-7 per
+  forward; a false hit also breaks the antisymmetry the conv's custom VJP
+  mirrors, so affected gradient rows are slightly wrong, not just the
+  forward — bounds in ``ops/sparse.py``). ``stem_engine='zpack'`` sidesteps
+  lookups entirely for the z-axis neighbors.
 - pooling clusters are boundary flags + segment reductions over the sorted
   order, all padded to the static point count with validity masks.
 """
@@ -441,6 +446,41 @@ class FeedForward(nn.Module):
         return nn.Dense(self.channels, dtype=dt)(x).astype(jnp.float32)
 
 
+def _lex_permute_level(ps: PointSet, cluster):
+    """Reorder a pooled level's storage to lex (b, x, y, z) order.
+
+    Pooled levels are duplicate-free but stored in curve-cluster order;
+    the z-pack conv engine needs the lex-sort invariant
+    (:func:`treemorph_tpu.ops.sparse.build_zplan`). Attention reads rows
+    through orders/inverses, and pooling/unpooling through ``cluster``,
+    so a storage permutation is transparent once all three are composed
+    with it (padding rows stay last: invalid keys sort to the end).
+    """
+    from ..ops.sparse import dedup_sort_perm
+
+    cap = ps.feat.shape[0]
+    coords4 = jnp.concatenate([ps.batch[:, None], ps.grid_coord], axis=1)
+    perm = dedup_sort_perm(coords4, ps.valid)
+    inv = jnp.zeros(cap, jnp.int32).at[perm].set(
+        jnp.arange(cap, dtype=jnp.int32)
+    )
+    new_ps = PointSet(
+        coord=ps.coord[perm],
+        grid_coord=ps.grid_coord[perm],
+        feat=ps.feat[perm],
+        batch=ps.batch[perm],
+        valid=ps.valid[perm],
+        orders=inv[ps.orders],
+        inverses=ps.inverses[:, perm],
+        code_hi=ps.code_hi[:, perm],
+        code_lo=ps.code_lo[:, perm],
+    )
+    new_cluster = jnp.where(
+        cluster < cap, inv[jnp.clip(cluster, 0, cap - 1)], cap
+    )
+    return new_ps, new_cluster
+
+
 def _dedup_broadcast(x_u, dedup):
     """(U, C) unique-voxel rows -> (P, C) point rows (overflow -> 0)."""
     cap = dedup.rows.shape[0]
@@ -810,10 +850,11 @@ class PointTransformerV3(nn.Module):
     #: see ops.sparse.DedupMap). Static unique-voxel cap = P // divisor;
     #: overflow is counted in the output diagnostics. None = off.
     dedup_divisor: int | None = None
-    #: 'gather' (default) or 'zpack': engine for ALL level-0 convs (the
-    #: k=5 stem and every L0 xCPE). zpack needs the lex-sort invariant,
-    #: so it requires dedup_divisor; same weights, spconv math up to fp
-    #: accumulation order.
+    #: 'gather' (default) or 'zpack': conv engine for EVERY submanifold
+    #: conv — the k=5 stem + L0 xCPEs run on the lex-sorted unique-voxel
+    #: set (requires dedup_divisor; falls back to gather at L0 without
+    #: it), and each pooled level is re-stored in lex order so its xCPEs
+    #: z-pack too. Same weights, spconv math up to fp accumulation order.
     stem_engine: str = "gather"
     #: 'bfloat16' runs attention qkv/proj + MLP matmuls at MXU bf16
     #: rate (params and norms stay float32; softmax stays float32).
@@ -905,6 +946,11 @@ class PointTransformerV3(nn.Module):
                     pdnorm=self.pdnorm,
                     name=f"enc{s}_down",
                 )(ps, train, shuffle_rng=rngs[s], cond=cond)
+                if self.stem_engine == "zpack":
+                    # pooled levels are duplicate-free but cluster-
+                    # ordered; re-store them in lex order so the z-pack
+                    # engine serves their xCPEs too
+                    coarse, cluster = _lex_permute_level(coarse, cluster)
                 skips.append((ps, cluster, rulebook, level_dd))
                 ps = coarse
             if s == 0 and dd is not None:
@@ -926,9 +972,13 @@ class PointTransformerV3(nn.Module):
                 coords4 = jnp.concatenate(
                     [ps.batch[:, None], ps.grid_coord], axis=1
                 )
-                rulebook = build_rulebook(
-                    coords4, ps.valid, 3, table=table0 if s == 0 else None
-                )
+                if self.stem_engine == "zpack" and s > 0:
+                    rulebook = build_zplan(coords4, ps.valid, 3)
+                else:
+                    rulebook = build_rulebook(
+                        coords4, ps.valid, 3,
+                        table=table0 if s == 0 else None,
+                    )
             for i in range(self.enc_depths[s]):
                 ps = PTv3Block(
                     channels=self.enc_channels[s],
@@ -1007,10 +1057,11 @@ class PointTransformerWithHeads(nn.Module):
     #: see ops.sparse.DedupMap). Static unique-voxel cap = P // divisor;
     #: overflow is counted in the output diagnostics. None = off.
     dedup_divisor: int | None = None
-    #: 'gather' (default) or 'zpack': engine for ALL level-0 convs (the
-    #: k=5 stem and every L0 xCPE). zpack needs the lex-sort invariant,
-    #: so it requires dedup_divisor; same weights, spconv math up to fp
-    #: accumulation order.
+    #: 'gather' (default) or 'zpack': conv engine for EVERY submanifold
+    #: conv — the k=5 stem + L0 xCPEs run on the lex-sorted unique-voxel
+    #: set (requires dedup_divisor; falls back to gather at L0 without
+    #: it), and each pooled level is re-stored in lex order so its xCPEs
+    #: z-pack too. Same weights, spconv math up to fp accumulation order.
     stem_engine: str = "gather"
     #: 'bfloat16' runs attention qkv/proj + MLP matmuls at MXU bf16
     #: rate (params and norms stay float32; softmax stays float32).
