@@ -626,52 +626,56 @@ class SerializedPooling(nn.Module):
         new = jnp.concatenate([jnp.array([True]), new])
         new = jnp.where(s_valid, new, True)
         s_cluster = jnp.cumsum(new.astype(jnp.int32)) - 1
+        s_cluster_c = jnp.minimum(s_cluster, cap)
 
-        # scatter cluster ids back to original point order; cap = dump
-        cluster = jnp.zeros(p, jnp.int32).at[order0].set(
-            jnp.minimum(s_cluster, cap)
-        )
+        # cluster ids in original point order: a GATHER through the
+        # inverse permutation (cluster[r] = s_cluster_c[inverse0[r]]);
+        # the previous scatter formulation cost ~1.5x a gather on TPU
+        cluster = s_cluster_c[ps.inverses[0]]
 
+        # all segment reductions run in the SORTED domain: cluster runs
+        # are contiguous there (indices_are_sorted lets XLA skip the
+        # scatter's worst case, and consecutive rows hit the same
+        # output line), at the price of gathering the reduced operands
+        # to sorted order once
         proj = nn.Dense(self.out_channels, name="proj")(ps.feat)
-        w = ps.valid.astype(jnp.float32)[:, None]
+        proj_s = proj[order0]
+        w_s = s_valid.astype(jnp.float32)[:, None]
+        kw = dict(num_segments=cap + 1, indices_are_sorted=True)
         if self.reduce == "max":
             neg = jnp.float32(-3.4e38)
             feat = jax.ops.segment_max(
-                jnp.where(ps.valid[:, None], proj, neg),
-                cluster,
-                num_segments=cap + 1,
+                jnp.where(s_valid[:, None], proj_s, neg),
+                s_cluster_c,
+                **kw,
             )[:cap]
             feat = jnp.where(jnp.isfinite(feat), feat, 0.0)
         elif self.reduce == "mean":
-            s = jax.ops.segment_sum(proj * w, cluster, num_segments=cap + 1)
-            cnt = jax.ops.segment_sum(
-                w[:, 0], cluster, num_segments=cap + 1
-            )
+            s = jax.ops.segment_sum(proj_s * w_s, s_cluster_c, **kw)
+            cnt = jax.ops.segment_sum(w_s[:, 0], s_cluster_c, **kw)
             feat = (s / jnp.maximum(cnt, 1.0)[:, None])[:cap]
         else:  # sum
             feat = jax.ops.segment_sum(
-                proj * w, cluster, num_segments=cap + 1
+                proj_s * w_s, s_cluster_c, **kw
             )[:cap]
 
-        counts = jax.ops.segment_sum(
-            w[:, 0], cluster, num_segments=cap + 1
-        )[:cap]
+        counts = jax.ops.segment_sum(w_s[:, 0], s_cluster_c, **kw)[:cap]
         coarse_valid = counts > 0
         feat = feat * coarse_valid[:, None]  # clear sentinel rows
         coord = jax.ops.segment_sum(
-            ps.coord * w, cluster, num_segments=cap + 1
+            ps.coord[order0] * w_s, s_cluster_c, **kw
         )[:cap] / jnp.maximum(counts, 1.0)[:, None]
         grid_coord = (
             jax.ops.segment_max(
-                jnp.where(ps.valid[:, None], ps.grid_coord, -1),
-                cluster,
-                num_segments=cap + 1,
+                jnp.where(s_valid[:, None], ps.grid_coord[order0], -1),
+                s_cluster_c,
+                **kw,
             )[:cap]
             >> 1
         )
         grid_coord = jnp.maximum(grid_coord, 0)
         batch = jax.ops.segment_max(
-            jnp.where(ps.valid, ps.batch, -1), cluster, num_segments=cap + 1
+            jnp.where(s_valid, s_batch, -1), s_cluster_c, **kw
         )[:cap]
         batch = jnp.where(coarse_valid, batch, INVALID_BATCH)
 
@@ -689,6 +693,7 @@ class SerializedPooling(nn.Module):
             jnp.arange(p, dtype=jnp.int32),
             s_cluster,
             num_segments=cap + 1,
+            indices_are_sorted=True,
         )[:cap]
         head = order0[jnp.clip(first_pos, 0, p - 1)]  # (cap,) orig index
         h_hi = ps.code_hi[:, head]  # (O, cap)
