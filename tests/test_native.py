@@ -99,3 +99,69 @@ class TestAngularClusterLargeShell:
             )
 
         assert groups(big) == groups(small)
+
+
+class TestAngularDBSCANGrid:
+    """Grid-accelerated angular DBSCAN == sklearn chord-metric DBSCAN."""
+
+    @staticmethod
+    def _unit(v):
+        return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    @staticmethod
+    def _sk(u, eps, ms):
+        from sklearn.cluster import DBSCAN
+
+        chord = 2.0 * np.sin(min(eps, np.pi) / 2.0)
+        return DBSCAN(
+            eps=chord, min_samples=ms, algorithm="kd_tree"
+        ).fit_predict(u.astype(np.float64))
+
+    @staticmethod
+    def _grid(u, eps, ms):
+        from treemorph_tpu.native import _load
+
+        lib = _load()
+        if lib is None:
+            pytest.skip("native library unavailable")
+        labels = np.empty(len(u), np.int32)
+        lib.angular_dbscan_grid(
+            np.ascontiguousarray(u, np.float32), len(u), float(eps),
+            int(ms), labels,
+        )
+        return labels
+
+    @pytest.mark.parametrize(
+        "eps,ms", [(0.15, 4), (0.05, 3), (0.3, 10)]
+    )
+    def test_exact_on_random_sphere(self, rng, eps, ms):
+        u = self._unit(rng.normal(size=(4000, 3)))
+        np.testing.assert_array_equal(
+            self._grid(u, eps, ms), self._sk(u, eps, ms)
+        )
+
+    @pytest.mark.parametrize("eps,ms", [(0.12, 5), (0.2, 20)])
+    def test_exact_on_tight_clusters_plus_noise(self, rng, eps, ms):
+        """The 100k-shell regime in miniature: dense direction blobs
+        (where sklearn's neighbor materialization blows up) + noise."""
+        centers = self._unit(rng.normal(size=(6, 3)))
+        parts = [
+            self._unit(c + 0.01 * rng.normal(size=(3000, 3)))
+            for c in centers
+        ]
+        parts.append(self._unit(rng.normal(size=(800, 3))))
+        u = np.concatenate(parts)
+        u = u[rng.permutation(len(u))]
+        np.testing.assert_array_equal(
+            self._grid(u, eps, ms), self._sk(u, eps, ms)
+        )
+
+    def test_routed_for_large_shells(self, rng):
+        """angular_cluster dispatches shells > ANGULAR_MATRIX_MAX to the
+        grid path and still matches sklearn."""
+        from treemorph_tpu.native import ANGULAR_MATRIX_MAX, angular_cluster
+
+        n = ANGULAR_MATRIX_MAX + 500
+        u = self._unit(rng.normal(size=(n, 3)))
+        got = angular_cluster(u, 0.15, 4)
+        np.testing.assert_array_equal(got, self._sk(u, 0.15, 4))
