@@ -19,13 +19,54 @@ on 0.02 m voxel clouds are the same order). ``vs_baseline`` = ours / 1e6.
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 from functools import partial
 
 import numpy as np
 
 
+def _device_reachable(timeout: float = 240.0) -> bool:
+    """Probe the accelerator backend in a subprocess with a hard timeout.
+
+    The sandbox's TPU rides a network tunnel; when the tunnel is down,
+    backend init HANGS (or errors after many minutes). A crashed/hung
+    bench records nothing — probing first lets the host-side metrics
+    (QSM fit) still be reported with an explicit error marker.
+    """
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout,
+            capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main(n_devices: int = 1):
+    if not _device_reachable():
+        qsm_seconds = _bench_qsm()
+        print(
+            json.dumps(
+                {
+                    "metric": "treelearn_inference_points_per_sec_per_chip",
+                    "value": 0,
+                    "unit": "points/sec",
+                    "vs_baseline": 0,
+                    "error": "accelerator backend unreachable (device "
+                    "tunnel down); host-side metrics only",
+                    "qsm_fit_seconds_48k_points": round(qsm_seconds, 2),
+                    "qsm_vs_reference_fit": round(4.1 / qsm_seconds, 2),
+                }
+            )
+        )
+        return
+
     import jax
     import jax.numpy as jnp
 

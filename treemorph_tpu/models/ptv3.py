@@ -40,6 +40,7 @@ from typing import NamedTuple, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.serialization import encode
 from ..ops.sparse import (
@@ -55,7 +56,7 @@ from .loss import point_wise_loss
 from .treelearn import MaskedBatchNorm, MLPHead
 
 DEFAULT_ORDERS = ("z", "z-trans", "hilbert", "hilbert-trans")
-INVALID_BATCH = jnp.int32(0x7FFF)
+INVALID_BATCH = np.int32(0x7FFF)  # numpy: import must not touch the device
 
 
 class PointSet(NamedTuple):

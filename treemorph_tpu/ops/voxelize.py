@@ -28,8 +28,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INVALID_BATCH = jnp.int32(0x7FFFFFF0)
+INVALID_BATCH = np.int32(0x7FFFFFF0)  # numpy: import must not touch the device
 
 
 class VoxelizedCloud(NamedTuple):
