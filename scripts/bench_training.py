@@ -70,6 +70,15 @@ def main():
         choices=["treelearn", "ptv3", "pointnet2"],
     )
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument(
+        "--engine", default="gather",
+        help="TreeLearn conv engine (gather/zpack/pencil/brick) or PTv3 "
+        "stem_engine (gather/zpack; zpack implies dedup_divisor=4)",
+    )
+    ap.add_argument(
+        "--compute_dtype", default="float32",
+        help="PTv3 attention/MLP matmul dtype (float32/bfloat16)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -103,12 +112,16 @@ def main():
         model = TreeLearn(
             channels=32, num_blocks=3, dim_feat=4, voxel_size=0.02,
             batch_size=trees, voxel_capacity_divisor=2,
+            engine=args.engine,
         )
         variables = init_treelearn(model, batch, jax.random.key(0))
         forward_fn, loss_fn = treelearn_family(model)
     elif args.family == "ptv3":
         model = PointTransformerWithHeads(
-            dim_feat=4, use_feats=True, voxel_size=0.02
+            dim_feat=4, use_feats=True, voxel_size=0.02,
+            stem_engine=args.engine,
+            dedup_divisor=4 if args.engine == "zpack" else None,
+            compute_dtype=args.compute_dtype,
         )
         variables = init_ptv3(model, batch, jax.random.key(0))
         forward_fn, loss_fn = ptv3_family(model)
