@@ -48,7 +48,9 @@ def _device_reachable(timeout: float = 240.0) -> bool:
         return False
 
 
-def main(n_devices: int = 1):
+def main(n_devices: int = 1, treelearn_engine: str = "gather",
+         ptv3_stem_engine: str = "gather",
+         ptv3_compute_dtype: str = "float32"):
     if not _device_reachable():
         qsm_seconds = _bench_qsm()
         print(
@@ -117,7 +119,7 @@ def main(n_devices: int = 1):
         # 1.07M pts/s (XLA 3D conv at C=32 eats the halo win) — gather
         # stays the default; see ROADMAP.md.
         voxel_capacity_divisor=5,
-        engine="gather",
+        engine=treelearn_engine,
         # conv_dtype="bfloat16" measured equal end-to-end here (1.41 vs
         # 1.43M pts/s): on real surface data the sorted-order gathers are
         # cache-friendly and convs are not the bottleneck; keep f32.
@@ -193,7 +195,8 @@ def main(n_devices: int = 1):
     # superlinearly with cloud size via the per-level sorts, and the
     # pipeline feeds PTv3 per-tree, not the 1M-point batch)
     ptv3_points_per_sec = _bench_ptv3(
-        coords[:n], feats[:n], batch_ids[:n], valid[:n], 1, n
+        coords[:n], feats[:n], batch_ids[:n], valid[:n], 1, n,
+        stem_engine=ptv3_stem_engine, compute_dtype=ptv3_compute_dtype,
     )
 
     # stage-3 QSM fit on a ~48k-point synthetic tree: the reference's own
@@ -329,7 +332,8 @@ def _bench_pointnet2_anchor():
     }
 
 
-def _bench_ptv3(coords, feats, batch_ids, valid, b, n):
+def _bench_ptv3(coords, feats, batch_ids, valid, b, n,
+                stem_engine="gather", compute_dtype="float32"):
     import jax
 
     from treemorph_tpu.evaluation.model_loaders import build_model
@@ -343,7 +347,8 @@ def _bench_ptv3(coords, feats, batch_ids, valid, b, n):
     # semantics, see ops.sparse.DedupMap) — measured 264 -> 150 ms.
     # Overflow is asserted zero below.
     model = build_model(
-        "pointtransformerv3", pool_shrink=4, dedup_divisor=4
+        "pointtransformerv3", pool_shrink=4, dedup_divisor=4,
+        stem_engine=stem_engine, compute_dtype=compute_dtype,
     )
     variables = jax.jit(
         lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)
@@ -375,4 +380,13 @@ if __name__ == "__main__":
         help="shard the TreeLearn inference batch over this many devices "
         "(tree-granular data parallelism); 1 = single chip (default)",
     )
-    main(n_devices=ap.parse_args().n_devices)
+    ap.add_argument("--treelearn_engine", default="gather")
+    ap.add_argument("--ptv3_stem_engine", default="gather")
+    ap.add_argument("--ptv3_compute_dtype", default="float32")
+    a = ap.parse_args()
+    main(
+        n_devices=a.n_devices,
+        treelearn_engine=a.treelearn_engine,
+        ptv3_stem_engine=a.ptv3_stem_engine,
+        ptv3_compute_dtype=a.ptv3_compute_dtype,
+    )
