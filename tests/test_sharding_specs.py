@@ -29,7 +29,7 @@ from treemorph_tpu.parallel.mesh import (
 )
 from treemorph_tpu.train import create_train_state, make_train_step
 from treemorph_tpu.train import families
-from treemorph_tpu.train.harness import make_optimizer
+from treemorph_tpu.train.harness import make_eval_step, make_optimizer
 
 
 def _collective_ops(hlo: str) -> dict:
@@ -120,3 +120,29 @@ def test_dp_train_step_collective_structure_and_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2.5e-3
         )
+
+    # eval has NO per-batch statistics (BN uses running averages), so the
+    # sharded eval step must agree with the single-device one to fp
+    # reduction order — a tight check that the psum'd masked means are
+    # exactly the global means
+    eval_mesh = make_eval_step(forward_fn, loss_fn, mesh=mesh)
+    eval_one = make_eval_step(fwd1, loss1)
+    # evaluate the IDENTICAL (pre-step) params on both paths
+    m_mesh = eval_mesh(state, sharded)
+    m_one = eval_one(
+        create_train_state(variables, tx),
+        jax.tree.map(jnp.asarray, batch),
+    )
+    for k in m_one:
+        # not exact: the offset loss is sqrt(clip(sq, 1e-8)) and many
+        # synthetic points sit at the clip boundary, where reduction-
+        # order fp jitter in sq flips the clip (|d sqrt| ~ 1e-4/point)
+        np.testing.assert_allclose(
+            float(m_mesh[k]), float(m_one[k]), rtol=5e-4
+        )
+    # and the sharded eval program itself contains no all-gathers either
+    ev_counts = _collective_ops(
+        eval_mesh.lower(state, sharded).compile().as_text()
+    )
+    for bad in ("all-gather", "all-to-all", "collective-permute"):
+        assert ev_counts[bad] == 0, (bad, ev_counts)
