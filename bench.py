@@ -50,7 +50,9 @@ def _device_reachable(timeout: float = 240.0) -> bool:
 
 def main(n_devices: int = 1, treelearn_engine: str = "gather",
          ptv3_stem_engine: str = "gather",
-         ptv3_compute_dtype: str = "float32"):
+         ptv3_compute_dtype: str = "float32",
+         treelearn_conv_dtype: str = "float32",
+         treelearn_brick_impl: str = "conv"):
     if not _device_reachable():
         qsm_seconds = _bench_qsm()
         print(
@@ -123,6 +125,8 @@ def main(n_devices: int = 1, treelearn_engine: str = "gather",
         # conv_dtype="bfloat16" measured equal end-to-end here (1.41 vs
         # 1.43M pts/s): on real surface data the sorted-order gathers are
         # cache-friendly and convs are not the bottleneck; keep f32.
+        conv_dtype=treelearn_conv_dtype,
+        brick_impl=treelearn_brick_impl,
     )
     init = jax.jit(
         lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)
@@ -381,6 +385,8 @@ if __name__ == "__main__":
         "(tree-granular data parallelism); 1 = single chip (default)",
     )
     ap.add_argument("--treelearn_engine", default="gather")
+    ap.add_argument("--treelearn_conv_dtype", default="float32")
+    ap.add_argument("--treelearn_brick_impl", default="conv")
     ap.add_argument("--ptv3_stem_engine", default="gather")
     ap.add_argument("--ptv3_compute_dtype", default="float32")
     a = ap.parse_args()
@@ -389,4 +395,6 @@ if __name__ == "__main__":
         treelearn_engine=a.treelearn_engine,
         ptv3_stem_engine=a.ptv3_stem_engine,
         ptv3_compute_dtype=a.ptv3_compute_dtype,
+        treelearn_conv_dtype=a.treelearn_conv_dtype,
+        treelearn_brick_impl=a.treelearn_brick_impl,
     )

@@ -104,6 +104,11 @@ def main():
     got = bench("pencil", pencil_divisor=4)
     print(f"  pencil(div=4,cells=4) vs gather max|diff| = "
           f"{np.abs(got - ref).max():.2e}", flush=True)
+    bench("pencil", pencil_divisor=4, conv_dtype="bfloat16")
+    got = bench("brick", brick_impl="xslab")
+    print(f"  brick(xslab) vs gather max|diff| = "
+          f"{np.abs(got - ref).max():.2e}", flush=True)
+    bench("brick", brick_impl="xslab", conv_dtype="bfloat16")
 
 
 if __name__ == "__main__":

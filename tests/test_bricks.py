@@ -87,6 +87,103 @@ class TestBrickConv:
 
         np.testing.assert_allclose(flat[valid], ref[valid], atol=2e-4)
 
+    @pytest.mark.parametrize("grid", [8, 16])
+    def test_xslab_matches_conv_impl(self, rng, grid):
+        """The banded x-slab matmul schedule must equal the lax.conv
+        schedule (and hence the gather engine) to float tolerance."""
+        coords, valid = random_voxels(
+            rng, n_active=150, pad_to=192, grid=grid
+        )
+        cin, cout = 8, 16
+        feats = rng.normal(size=(192, cin)).astype(np.float32)
+        feats[~valid] = 0
+        weights = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.2
+
+        bs = brickize(jnp.asarray(coords), jnp.asarray(valid), cap=192)
+        active = to_dense(
+            jnp.asarray(valid.astype(np.float32))[:, None], bs
+        )
+        dense = to_dense(jnp.asarray(feats), bs)
+        ref = np.asarray(
+            brick_subm_conv(dense, jnp.asarray(weights), bs, active)
+        )
+        got = np.asarray(
+            brick_subm_conv(
+                dense, jnp.asarray(weights), bs, active, impl="xslab"
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_xslab_gradients_match_conv_impl(self, rng):
+        import jax
+
+        coords, valid = random_voxels(rng, n_active=120, pad_to=160, grid=12)
+        cin, cout = 8, 8
+        feats = rng.normal(size=(160, cin)).astype(np.float32)
+        feats[~valid] = 0
+        weights = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.2
+        bs = brickize(jnp.asarray(coords), jnp.asarray(valid), cap=160)
+        active = to_dense(
+            jnp.asarray(valid.astype(np.float32))[:, None], bs
+        )
+        dense = to_dense(jnp.asarray(feats), bs)
+        cot = jnp.asarray(
+            rng.normal(size=np.asarray(
+                brick_subm_conv(dense, jnp.asarray(weights), bs, active)
+            ).shape).astype(np.float32)
+        )
+
+        def loss(impl, d, w):
+            return jnp.vdot(
+                brick_subm_conv(d, w, bs, active, impl=impl), cot
+            )
+
+        gd_c, gw_c = jax.grad(loss, argnums=(1, 2))(
+            "conv", dense, jnp.asarray(weights)
+        )
+        gd_x, gw_x = jax.grad(loss, argnums=(1, 2))(
+            "xslab", dense, jnp.asarray(weights)
+        )
+        np.testing.assert_allclose(np.asarray(gd_x), np.asarray(gd_c),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_x), np.asarray(gw_c),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_treelearn_brick_xslab_engine_forward(self, rng):
+        import jax
+
+        from treemorph_tpu.models import TreeLearn
+
+        n = 512
+        pts = rng.uniform(0, 2, (n, 3)).astype(np.float32)
+        feats = rng.normal(size=(n, 4)).astype(np.float32)
+        batch_ids = np.zeros(n, np.int32)
+        valid = np.arange(n) < 450
+        kw = dict(
+            channels=8, num_blocks=2, dim_feat=4, voxel_size=0.05,
+            batch_size=1, engine="brick", brick_divisor=1,
+        )
+        args = (
+            jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(batch_ids),
+            jnp.asarray(valid),
+        )
+        model_c = TreeLearn(**kw)
+        model_x = TreeLearn(**kw, brick_impl="xslab")
+        variables = jax.jit(
+            lambda r, c, f, b, v: model_c.init(r, c, f, b, v, train=False)
+        )(jax.random.key(0), *args)
+        out_c = jax.jit(
+            lambda p, c, f, b, v: model_c.apply(p, c, f, b, v, train=False)
+        )(variables, *args)
+        out_x = jax.jit(
+            lambda p, c, f, b, v: model_x.apply(p, c, f, b, v, train=False)
+        )(variables, *args)
+        np.testing.assert_allclose(
+            np.asarray(out_x["offset_predictions"]),
+            np.asarray(out_c["offset_predictions"]),
+            rtol=1e-3, atol=1e-4,
+        )
+
     def test_treelearn_brick_engine_forward(self, rng):
         import jax
 

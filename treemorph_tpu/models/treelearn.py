@@ -237,6 +237,8 @@ class BrickSubMConv(nn.Module):
     """Single submanifold conv on the brick engine (flat in/out)."""
 
     out_channels: int
+    impl: str = "conv"
+    conv_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, feats, bs: BrickStructure, active, valid):
@@ -244,7 +246,10 @@ class BrickSubMConv(nn.Module):
             "kernel", _KERNEL_INIT, (27, feats.shape[-1], self.out_channels)
         )
         dense = to_dense(feats * valid[:, None], bs)
-        out = brick_subm_conv(dense, w, bs, active)
+        out = brick_subm_conv(
+            dense, w, bs, active, impl=self.impl,
+            compute_dtype=jnp.dtype(self.conv_dtype),
+        )
         return from_dense(out, bs) * valid[:, None]
 
 
@@ -252,6 +257,8 @@ class BrickResidualBlock(nn.Module):
     """ResidualBlock on the dense-brick layout (same math, MXU conv)."""
 
     out_channels: int
+    impl: str = "conv"
+    conv_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, dense, bs: BrickStructure, active, flat_mask,
@@ -277,12 +284,15 @@ class BrickResidualBlock(nn.Module):
         w0 = self.param(
             "conv0", _KERNEL_INIT, (27, cin, self.out_channels)
         )
-        x = brick_subm_conv(x, w0, bs, active)
+        dtype = jnp.dtype(self.conv_dtype)
+        x = brick_subm_conv(x, w0, bs, active, impl=self.impl,
+                            compute_dtype=dtype)
         x = bn_relu(x, "bn1")
         w1 = self.param(
             "conv1", _KERNEL_INIT, (27, self.out_channels, self.out_channels)
         )
-        x = brick_subm_conv(x, w1, bs, active)
+        x = brick_subm_conv(x, w1, bs, active, impl=self.impl,
+                            compute_dtype=dtype)
         return x + identity
 
 
@@ -315,6 +325,7 @@ class UBlock(nn.Module):
     pencil_cells: int = 4
     conv_dtype: str = "float32"
     verify_coords: bool = False
+    brick_impl: str = "conv"  # 'conv' (lax.conv) | 'xslab' (banded matmuls)
 
     def _make_ctx(self, coords, valid):
         """Per-level conv context, shared by head and tail blocks (the
@@ -366,7 +377,8 @@ class UBlock(nn.Module):
             dense = to_dense(x * valid[:, None], bs)
             for i in range(self.block_reps):
                 dense = BrickResidualBlock(
-                    self.n_planes[0], name=f"{prefix}{i}"
+                    self.n_planes[0], self.brick_impl, self.conv_dtype,
+                    name=f"{prefix}{i}"
                 )(dense, bs, active, flat_mask, train)
             return from_dense(dense, bs) * valid[:, None]
         rulebook = ctx[1]
@@ -421,6 +433,7 @@ class UBlock(nn.Module):
                 self.pencil_cells,
                 self.conv_dtype,
                 self.verify_coords,
+                brick_impl=self.brick_impl,
                 name="u",
             )(d, ds.coarse_coords, ds.coarse_valid, train)
             dropped = dropped + d_dropped
@@ -490,6 +503,7 @@ class TreeLearnBackbone(nn.Module):
     pencil_cells: int = 4
     conv_dtype: str = "float32"  # bfloat16: ~5x faster convs, f32 accum
     verify_coords: bool = False  # exact (collision-proof) hash lookups
+    brick_impl: str = "conv"  # brick engine conv schedule ('conv'|'xslab')
 
     @nn.compact
     def __call__(self, coords, feats, batch_ids, valid, train: bool):
@@ -525,9 +539,10 @@ class TreeLearnBackbone(nn.Module):
             bcap = max(m // self.brick_divisor, 64)
             bs = brickize(v_coords, v_valid, bcap)
             active = to_dense(v_valid.astype(jnp.float32)[:, None], bs)
-            x = BrickSubMConv(self.channels, name="input_conv")(
-                vox.voxel_feats, bs, active, v_valid
-            )
+            x = BrickSubMConv(
+                self.channels, self.brick_impl, self.conv_dtype,
+                name="input_conv",
+            )(vox.voxel_feats, bs, active, v_valid)
         else:
             if self.engine == "zpack" and self.kernel_size == 3:
                 rulebook = build_zplan(
@@ -556,6 +571,7 @@ class TreeLearnBackbone(nn.Module):
             pencil_cells=self.pencil_cells,
             conv_dtype=self.conv_dtype,
             verify_coords=self.verify_coords,
+            brick_impl=self.brick_impl,
             name="unet",
         )(x, v_coords, v_valid, train)
         x = MaskedBatchNorm(name="output_norm")(x, v_valid, train)
@@ -598,6 +614,7 @@ class TreeLearn(nn.Module):
     pencil_cells: int = 4
     conv_dtype: str = "float32"
     verify_coords: bool = False
+    brick_impl: str = "conv"
 
     @nn.compact
     def __call__(
@@ -627,6 +644,7 @@ class TreeLearn(nn.Module):
             pencil_cells=self.pencil_cells,
             conv_dtype=self.conv_dtype,
             verify_coords=self.verify_coords,
+            brick_impl=self.brick_impl,
             name="backbone",
         )
         point_feats, vox, dropped_points, dropped_voxels = backbone(

@@ -169,11 +169,69 @@ def _halo_pad(dense: jax.Array, bs: BrickStructure) -> jax.Array:
     return jnp.concatenate(x_slabs, axis=1)  # (Bcap, 6, 6, 6, C)
 
 
+def _xslab_selector() -> jnp.ndarray:
+    """Static 0/1 tensor S (9, 36, 16) mapping a (dy, dz) kernel tap to
+    its positions in the x-slab banded matrix: S[dy*3+dz, r, cb] = 1 iff
+    r == (yo+dy)*6 + (zo+dz) and cb == yo*4 + zo for some core output
+    cell (yo, zo) in [0, 4)^2. XLA constant-folds this."""
+    import numpy as np
+
+    s = np.zeros((9, 36, 16), np.float32)
+    for dy in range(3):
+        for dz in range(3):
+            for yo in range(4):
+                for zo in range(4):
+                    s[dy * 3 + dz, (yo + dy) * 6 + (zo + dz), yo * 4 + zo] = 1
+    return jnp.asarray(s)
+
+
+def _xslab_weights(weights: jax.Array) -> jax.Array:
+    """(27, Cin, Cout) kernel -> (3, 36*Cin, 16*Cout) banded x-slab
+    matrices (differentiable: the placement is one einsum with a static
+    0/1 selector, so weight grads flow through its transpose)."""
+    cin, cout = weights.shape[1], weights.shape[2]
+    w = weights.reshape(3, 9, cin, cout)
+    s = _xslab_selector()  # (9, 36, 16)
+    # wb[dx, r, i, cb, o] = sum_j s[j, r, cb] * w[dx, j, i, o]
+    wb = jnp.einsum("jrb,xjio->xribo", s, w)
+    return wb.reshape(3, 36 * cin, 16 * cout)
+
+
+def _xslab_conv(padded, weights, compute_dtype):
+    """Banded x-slab matmul conv on the halo'd (B, 6, 6, 6, Cin) tensor.
+
+    The (y, z, c) axes fuse into one 36*Cin column axis; for each x-offset
+    dx the contribution of input x-plane [dx, dx+4) to all 4^3 core
+    outputs is ONE (B*4, 36*Cin) x (36*Cin, 16*Cout) matmul against a
+    banded weight matrix (50% structurally dense in y and z). 2x the
+    minimum FLOPs but MXU-shaped — ``lax.conv`` at Cin=32 runs far below
+    MXU rate on these small channel counts.
+    """
+    b = padded.shape[0]
+    cin = padded.shape[-1]
+    wb = _xslab_weights(weights)
+    cout = weights.shape[-1]
+    dtype = jnp.dtype(compute_dtype or padded.dtype)
+    p = padded.reshape(b, 6, 36 * cin).astype(dtype)
+    w = wb.astype(dtype)
+    out = jnp.zeros((b, 4, 16 * cout), jnp.float32)
+    for dx in range(3):
+        out = out + jnp.einsum(
+            "bxk,kn->bxn",
+            p[:, dx : dx + 4, :],
+            w[dx],
+            preferred_element_type=jnp.float32,
+        )
+    return out.reshape(b, BRICK, BRICK, BRICK, cout)
+
+
 def brick_subm_conv(
     dense: jax.Array,  # (Bcap+1, 4,4,4, C) active-masked features
     weights: jax.Array,  # (K=27, Cin, Cout) in kernel_offsets order
     bs: BrickStructure,
     active: jax.Array,  # (Bcap+1, 4,4,4, 1) activity mask
+    impl: str = "conv",
+    compute_dtype=None,
 ) -> jax.Array:
     """Submanifold 3^3 conv on the dense brick tensor -> same layout.
 
@@ -182,27 +240,35 @@ def brick_subm_conv(
     W[k] @ feat[v + off_k], so the conv kernel must be INDEX-REVERSED
     relative to a correlation: lax.conv computes sum_k W[p] * x[v + p - 1]
     with p in [0, 3)^3, matching off = p - 1 directly.
+
+    ``impl`` selects the conv schedule on the halo'd tensor:
+    'conv' = one ``lax.conv_general_dilated``; 'xslab' = 3 banded x-slab
+    matmuls (:func:`_xslab_conv`) — identical math, MXU-shaped, and the
+    only impl that honors ``compute_dtype`` (bf16 in, f32 accumulate).
     """
     cap = bs.brick_coords.shape[0]
     cin = dense.shape[-1]
     cout = weights.shape[-1]
     padded = _halo_pad(dense, bs)  # (Bcap, 6,6,6, Cin)
 
-    # NOTE: a Pallas roll-shifted-matmul formulation of this conv exists
-    # (ops/brick_conv.py, exact-match + gradient tested) but Mosaic
-    # lowers circular rolls across the 216-cell axis pathologically in
-    # every layout tried (sublane rolls, lane rolls, per-brick loops):
-    # measured 2.9 s per 37k-brick conv vs ~13 ms for the XLA conv here.
-    # See ROADMAP #1 for the measurements.
-    kernel = weights.reshape(3, 3, 3, cin, cout)
-    out = jax.lax.conv_general_dilated(
-        padded,
-        kernel,
-        window_strides=(1, 1, 1),
-        padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    )  # (Bcap, 4,4,4, Cout)
+    if impl == "xslab":
+        out = _xslab_conv(padded, weights, compute_dtype)
+    else:
+        # NOTE: a Pallas roll-shifted-matmul formulation of this conv
+        # exists (ops/brick_conv.py, exact-match + gradient tested) but
+        # Mosaic lowers circular rolls across the 216-cell axis
+        # pathologically in every layout tried (sublane rolls, lane
+        # rolls, per-brick loops): measured 2.9 s per 37k-brick conv vs
+        # ~13 ms for the XLA conv here. See ROADMAP #1.
+        kernel = weights.reshape(3, 3, 3, cin, cout)
+        out = jax.lax.conv_general_dilated(
+            padded,
+            kernel,
+            window_strides=(1, 1, 1),
+            padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        )  # (Bcap, 4,4,4, Cout)
     out = jnp.concatenate(
         [out, jnp.zeros((1, BRICK, BRICK, BRICK, cout), out.dtype)], axis=0
     )
