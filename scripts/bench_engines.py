@@ -97,6 +97,10 @@ def main():
         return ref
 
     ref = bench("gather", vdiv=5)
+    got = bench("band", vdiv=5)
+    print(f"  band vs gather max|diff| = {np.abs(got - ref).max():.2e}",
+          flush=True)
+    bench("band", vdiv=5, conv_dtype="bfloat16")
     got = bench("zpack", vdiv=5)
     print(f"  zpack vs gather max|diff| = {np.abs(got - ref).max():.2e}",
           flush=True)

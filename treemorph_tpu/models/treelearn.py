@@ -31,6 +31,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.bandconv import build_band_plan
 from ..ops.bricks import (
     BRICK,
     BrickStructure,
@@ -346,6 +347,14 @@ class UBlock(nn.Module):
                 coords, valid, 3, verify_coords=self.verify_coords
             )
             return ("gather", plan), jnp.int32(0)
+        if self.engine == "band":
+            # banded one-hot Pallas conv (ops/bandconv.py); same blocks,
+            # subm_conv_apply dispatches on the BandPlan
+            rb = build_rulebook(
+                coords, valid, self.kernel_size,
+                verify_coords=self.verify_coords,
+            )
+            return ("gather", build_band_plan(rb, valid)), jnp.int32(0)
         if self.engine == "brick" and self.kernel_size == 3:
             m = coords.shape[0]
             cap = max(m // self.brick_divisor, 64)
@@ -548,6 +557,14 @@ class TreeLearnBackbone(nn.Module):
                 rulebook = build_zplan(
                     v_coords, v_valid, 3,
                     verify_coords=self.verify_coords,
+                )
+            elif self.engine == "band":
+                rulebook = build_band_plan(
+                    build_rulebook(
+                        v_coords, v_valid, self.kernel_size,
+                        verify_coords=self.verify_coords,
+                    ),
+                    v_valid,
                 )
             else:
                 rulebook = build_rulebook(

@@ -108,6 +108,79 @@ def dedup_sort_perm(key4: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.lexsort((lo, hi))
 
 
+class SortedRuns(NamedTuple):
+    """Sorted-domain view of a dedup: equal (b, x, y, z) rows adjacent in
+    lexicographic order, padding last, plus everything downstream needs
+    WITHOUT further 1M-row gathers."""
+
+    s_valid: jax.Array  # (N,) bool — validity per sorted row
+    s_orig: jax.Array  # (N,) int32 — original row of each sorted row
+    new: jax.Array  # (N,) bool — run-boundary flags (invalid rows: True)
+    s_id: jax.Array  # (N,) int32 — run index per sorted row
+    num: jax.Array  # () int32 — number of valid runs
+
+
+def sorted_runs(key4: jax.Array, valid: jax.Array) -> SortedRuns:
+    """ONE 2-key sort of the packed lex keys with a flagged-iota payload.
+
+    The sorted keys provide run boundaries and validity directly and the
+    payload provides original indices, so callers avoid post-sort row
+    gathers entirely (each 1M-row random-access pass costs 5-9 ms on a
+    v5e; the 3-operand sort itself is ~2.3 ms). The sort is stable, so a
+    run's first sorted row carries its smallest original index.
+
+    Exactness matches :func:`dedup_sort_perm`: on the fast key path
+    (coords < 2^19, batch < 128) comparing keys IS comparing coordinates;
+    on the hash fallback a double collision can merge two groups
+    (~2^-64 per adjacent pair)."""
+    n = key4.shape[0]
+    hi, lo = lex_keys(key4, valid)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    payload = jnp.where(valid, iota, iota | jnp.int32(-(2**31)))
+    s_hi, s_lo, s_pay = jax.lax.sort((hi, lo, payload), num_keys=2)
+    s_valid = s_pay >= 0
+    s_orig = (
+        jax.lax.bitcast_convert_type(s_pay, jnp.uint32)
+        & jnp.uint32(0x7FFFFFFF)
+    ).astype(jnp.int32)
+    new = (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1])
+    new = jnp.concatenate([jnp.array([True]), new])
+    # every invalid row is its own run so ids stay monotone
+    new = jnp.where(s_valid, new, True)
+    s_id = jnp.cumsum(new.astype(jnp.int32)) - 1
+    num = jnp.where(s_valid, s_id + 1, 0).max().astype(jnp.int32)
+    return SortedRuns(
+        s_valid=s_valid, s_orig=s_orig, new=new, s_id=s_id, num=num
+    )
+
+
+def first_rows_of_runs(r: SortedRuns, cap: int) -> jax.Array:
+    """(cap,) original row index of each run's first element (run r of
+    the sort IS dedup group r). One scatter-set at unique ascending
+    indices — the fast scatter shape on TPU."""
+    idx = jnp.where(
+        r.s_valid & r.new, jnp.minimum(r.s_id, cap), cap
+    )
+    return jnp.zeros(cap + 1, jnp.int32).at[idx].set(r.s_orig)[:cap]
+
+
+def run_starts(new: jax.Array, cap: int) -> jax.Array:
+    """Start indices of the first ``cap`` runs of a sorted boundary mask.
+
+    ``new[i]`` marks row i as the first of its run; run r's start is the
+    r-th True. Rows are compacted with a static-size ``nonzero``; missing
+    runs fill with ``len(new)`` (callers gather through a sentinel row).
+
+    Why this exists: every dedup in this module leaves equal keys as
+    contiguous runs of a SORTED array, so per-group reductions of values
+    constant within a run (coords, batch, first-row picks) are a single
+    cap-row gather at the run starts. The scatter-reduce alternative
+    (``jax.ops.segment_max``/``min``) costs 10-16 ms per call at 1M rows
+    on a v5e chip — it was the dominant cost of voxelize/downsample."""
+    (starts,) = jnp.nonzero(new, size=cap, fill_value=new.shape[0])
+    return starts.astype(jnp.int32)
+
+
 SLOTS_PER_BUCKET = 16  # one 128-byte row per bucket
 
 
@@ -336,6 +409,12 @@ def subm_conv_apply(
         return subm_conv_zpack_apply(
             feats, weights, rulebook, valid, compute_dtype=dtype
         )
+    from .bandconv import BandPlan, band_subm_conv_apply
+
+    if isinstance(rulebook, BandPlan):
+        return band_subm_conv_apply(
+            feats, weights, rulebook, valid, compute_dtype=dtype
+        )
     return _subm_conv(dtype, feats, weights, rulebook, valid)
 
 
@@ -445,32 +524,16 @@ def build_dedup(
     m = coords.shape[0]
     if cap is None:
         cap = m
-    b = coords[:, 0]
-    perm = dedup_sort_perm(coords, valid)
-    sort_b = jnp.where(valid, b, jnp.int32(0x7FFFFFF0))
-    s_key = jnp.concatenate(
-        [sort_b[perm][:, None], coords[perm][:, 1:]], axis=1
-    )
-    s_valid = valid[perm]
-    new = jnp.any(s_key[1:] != s_key[:-1], axis=1)
-    new = jnp.concatenate([jnp.array([True]), new])
-    new = jnp.where(s_valid, new, True)
-    s_id = jnp.cumsum(new.astype(jnp.int32)) - 1
-    num_unique = jnp.where(s_valid, s_id + 1, 0).max().astype(jnp.int32)
+    r = sorted_runs(coords, valid)
+    num_unique = r.num
 
-    v2u_full = jnp.zeros(m, jnp.int32).at[perm].set(s_id)
+    v2u_full = jnp.zeros(m, jnp.int32).at[r.s_orig].set(r.s_id)
     v2u = jnp.where(valid, jnp.minimum(v2u_full, cap), cap)
     overflow = jnp.sum(valid & (v2u_full >= cap)).astype(jnp.int32)
 
-    big = jnp.int32(0x7FFFFFF0)
-    # lexsort is stable, so segment_min picks the first original row
-    rows = jax.ops.segment_min(
-        jnp.where(valid, jnp.arange(m, dtype=jnp.int32), big),
-        v2u,
-        num_segments=cap + 1,
-    )[:cap]
-    u_valid = rows < big
-    rows = jnp.where(u_valid, rows, 0)
+    # valid runs sort first, so unique row r is valid iff r < num_unique
+    u_valid = jnp.arange(cap) < num_unique
+    rows = jnp.where(u_valid, first_rows_of_runs(r, cap), 0)
     u_coords = jnp.where(u_valid[:, None], coords[rows], 0).astype(
         jnp.int32
     )
@@ -518,38 +581,26 @@ def build_downsample(
         fine[:, 2] & 1
     )
 
-    # double-hash dedup sort: equal coarse coords adjacent, padding last
-    # (see dedup_sort_perm for the collision analysis)
+    # dedup sort of the coarse keys (see sorted_runs for the design)
     key4 = jnp.concatenate([b[:, None], coarse], axis=1)
-    perm = dedup_sort_perm(key4, valid)
-    sort_b = jnp.where(valid, b, jnp.int32(0x7FFFFFF0))
-    s_key = jnp.concatenate(
-        [sort_b[perm][:, None], coarse[perm]], axis=1
-    )
-    s_valid = valid[perm]
-    new = jnp.any(s_key[1:] != s_key[:-1], axis=1)
-    new = jnp.concatenate([jnp.array([True]), new])
-    new = jnp.where(s_valid, new, True)
-    s_id = jnp.cumsum(new.astype(jnp.int32)) - 1
-    num_coarse = jnp.where(s_valid, s_id + 1, 0).max().astype(jnp.int32)
+    r = sorted_runs(key4, valid)
+    num_coarse = r.num
 
-    parent_full = jnp.zeros(m, jnp.int32).at[perm].set(s_id)
+    parent_full = jnp.zeros(m, jnp.int32).at[r.s_orig].set(r.s_id)
     parent = jnp.minimum(parent_full, cap)  # cap = dump row for overflow
-    coarse_b = jax.ops.segment_max(
-        jnp.where(valid, b, -1), parent, num_segments=cap + 1
-    )[:cap]
-    coarse_xyz = jax.ops.segment_max(
-        jnp.where(valid[:, None], coarse, -1), parent, num_segments=cap + 1
-    )[:cap]
-    coarse_coords = jnp.concatenate(
-        [coarse_b[:, None], coarse_xyz], axis=1
+    # run r of the sort IS coarse voxel r; gather one fine row per run
+    # and re-halve its coords (cap-sized math, no 1M-row gathers)
+    rows = first_rows_of_runs(r, cap)
+    coarse_valid = jnp.arange(cap) < num_coarse
+    rc = coords[rows]
+    coarse_coords = jnp.where(
+        coarse_valid[:, None],
+        jnp.concatenate([rc[:, :1], rc[:, 1:] >> 1], axis=1),
+        -1,
     ).astype(jnp.int32)
-    counts = jax.ops.segment_sum(
-        valid.astype(jnp.int32), parent, num_segments=cap + 1
-    )[:cap]
     return DownsampleMap(
         coarse_coords=coarse_coords,
-        coarse_valid=counts > 0,
+        coarse_valid=coarse_valid,
         num_coarse=jnp.minimum(num_coarse, cap),
         parent=parent,
         child_offset=octant.astype(jnp.int32),

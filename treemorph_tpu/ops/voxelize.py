@@ -79,71 +79,67 @@ def voxelize(
     batch_ids = jnp.where(valid, batch_ids.astype(jnp.int32), INVALID_BATCH)
 
     # Per-batch-element min corner (parity with the reference's per-element
-    # coors_range, TreeLearn.py:190-191).
+    # coors_range, TreeLearn.py:190-191). A static loop of masked column
+    # minima: B full-array reductions stream at HBM speed, whereas a
+    # segment_min lowers to a scatter-min (~11 ms at 1M points on v5e).
     big = jnp.float32(3.4e38)
     safe_coords = jnp.where(valid[:, None], coords, big)
-    seg_ids = jnp.where(valid, batch_ids, batch_size)  # pad -> segment B
-    grid_min = jax.ops.segment_min(
-        safe_coords, seg_ids, num_segments=batch_size + 1
-    )[:batch_size]
+    grid_min = jnp.stack([
+        jnp.min(
+            jnp.where((batch_ids == be)[:, None], safe_coords, big), axis=0
+        )
+        for be in range(batch_size)
+    ])
     grid_min = jnp.where(jnp.isfinite(grid_min), grid_min, 0.0)
 
-    mins = grid_min[jnp.clip(batch_ids, 0, batch_size - 1)]
+    # quantize: accumulate each element's min corner with a static
+    # where-loop — a (N, 3) gather from the tiny (B, 3) table costs a
+    # full random-access pass (~5 ms at 1M rows on v5e), the loop is
+    # B streaming passes
+    mins = grid_min[batch_size - 1] * jnp.ones_like(coords)
+    for be in range(batch_size - 1):
+        mins = jnp.where((batch_ids == be)[:, None], grid_min[be], mins)
     grid = jnp.floor((coords - mins) / voxel_size).astype(jnp.int32)
     grid = jnp.maximum(grid, 0)
     grid = jnp.where(valid[:, None], grid, 0)
 
-    # Dedup needs equal coords ADJACENT, not lexicographic order: a
-    # double-hash lexsort replaces the 4-key lexsort (boundary detection
-    # below still compares full coordinates; see
-    # sparse.dedup_sort_perm for why one hash was not enough).
-    from .sparse import dedup_sort_perm
+    # Dedup via ONE 2-key sort of the packed lex keys with a flagged-iota
+    # payload (see sparse.sorted_runs): no 1M-row post-sort gathers.
+    from .sparse import first_rows_of_runs, sorted_runs
 
     key4 = jnp.concatenate([batch_ids[:, None], grid], axis=1)
-    perm = dedup_sort_perm(key4, valid)
-    s_batch = batch_ids[perm]
-    s_grid = grid[perm]
-    s_valid = valid[perm]
-
-    key_cols = jnp.concatenate([s_batch[:, None], s_grid], axis=1)  # (N, 4)
-    new_voxel = jnp.any(key_cols[1:] != key_cols[:-1], axis=1)
-    new_voxel = jnp.concatenate([jnp.array([True]), new_voxel])
-    # every invalid point gets its own trailing voxel; simplest is to mark
-    # each invalid row a boundary so ids stay monotone
-    new_voxel = jnp.where(s_valid, new_voxel, True)
-    s_voxel_id = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
-
-    num_voxels = jnp.where(s_valid, s_voxel_id + 1, 0).max()
-    num_voxels = jnp.minimum(num_voxels, cap)
+    r = sorted_runs(key4, valid)
+    num_voxels = jnp.minimum(r.num, cap)
 
     # Scatter voxel ids back to original point order; overflow -> cap.
-    point_to_voxel = jnp.zeros(n, jnp.int32).at[perm].set(
-        jnp.minimum(s_voxel_id, cap)
+    point_to_voxel = jnp.zeros(n, jnp.int32).at[r.s_orig].set(
+        jnp.minimum(r.s_id, cap)
     )
 
-    # Per-voxel mean features and representative coordinates.
+    # Per-voxel mean features: scatter-ADD is the one fast scatter-reduce
+    # on TPU; one combined (D+1)-wide segment_sum carries the counts too.
     weights = valid.astype(jnp.float32)
-    sums = jax.ops.segment_sum(
-        feats * weights[:, None], point_to_voxel, num_segments=cap + 1
+    ext = jnp.concatenate(
+        [feats * weights[:, None], weights[:, None]], axis=1
+    )
+    span = jax.ops.segment_sum(
+        ext, point_to_voxel, num_segments=cap + 1
     )[:cap]
-    counts = jax.ops.segment_sum(
-        weights, point_to_voxel, num_segments=cap + 1
-    )[:cap]
+    sums, counts = span[:, :-1], span[:, -1]
     voxel_feats = sums / jnp.maximum(counts, 1.0)[:, None]
 
-    voxel_batch = jax.ops.segment_max(
-        jnp.where(valid, batch_ids, -1), point_to_voxel, num_segments=cap + 1
-    )[:cap]
-    voxel_grid = jax.ops.segment_max(
-        jnp.where(valid[:, None], grid, -1),
-        point_to_voxel,
-        num_segments=cap + 1,
-    )[:cap]
-    voxel_coords = jnp.concatenate(
-        [voxel_batch[:, None], voxel_grid], axis=1
-    ).astype(jnp.int32)
-
+    # voxel coords: scatter each run's first original row index to its
+    # voxel slot, then two cap-sized gathers. Replaces a segment_max
+    # that cost 10-16 ms at 1M rows.
+    rows = first_rows_of_runs(r, cap)
     voxel_valid = counts > 0
+    voxel_coords = jnp.where(
+        voxel_valid[:, None],
+        jnp.concatenate(
+            [batch_ids[rows][:, None], grid[rows]], axis=1
+        ),
+        -1,
+    ).astype(jnp.int32)
     spatial_shape = (
         jnp.max(jnp.where(valid[:, None], grid, 0), axis=0) + 1
     ).astype(jnp.int32)
