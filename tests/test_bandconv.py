@@ -49,12 +49,15 @@ class TestBandPlan:
         m = rb.shape[0]
         rbn = np.asarray(plan.rulebook)  # (Mp, K)
         starts = np.asarray(plan.starts)  # (n_tiles, G)
-        res = set(
-            zip(
-                np.asarray(plan.res_row)[np.asarray(plan.res_valid)],
-                np.asarray(plan.res_off)[np.asarray(plan.res_valid)],
-            )
-        )
+        live = np.asarray(plan.res_valid)
+        rr = np.asarray(plan.res_rows)[live]
+        rrb = np.asarray(plan.res_rb)[live]
+        m_ = rb.shape[0]
+        res = {
+            (int(r), k)
+            for r, rowrb in zip(rr, rrb)
+            for k in np.nonzero(rowrb < m_)[0]
+        }
         win = plan.wmark.shape[0]
         n_tiles = starts.shape[0]
         for t in range(n_tiles):
@@ -77,13 +80,15 @@ class TestBandPlan:
         rb = build_rulebook(cj, vj, 3, verify_coords=True)
         plan = build_band_plan(rb, vj)
         rbn = np.asarray(rb)
+        m = rbn.shape[0]
         live = np.asarray(plan.res_valid)
-        for r, o, s in zip(
-            np.asarray(plan.res_row)[live],
-            np.asarray(plan.res_off)[live],
-            np.asarray(plan.res_src)[live],
+        for r, rowrb in zip(
+            np.asarray(plan.res_rows)[live],
+            np.asarray(plan.res_rb)[live],
         ):
-            assert rbn[r, o] == s
+            for k, s in enumerate(rowrb):
+                # each kept entry must mirror the rulebook; masked = m
+                assert s == m or s == rbn[r, k]
 
 
 class TestBandConv:

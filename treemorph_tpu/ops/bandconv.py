@@ -41,14 +41,16 @@ work.
 
 Exactness: found neighbors whose window misses them (the tail of the
 band-width distribution — ~0.1% of entries at the default TILE/WIN) are
-compacted at plan time into a static-cap COO residual list
-``(out_row, offset, src)``; the kernel's one-hot match silently drops
-them (their local index falls outside the iota range), and
-``_band_impl`` repairs the output with one feature gather, K masked
-(Cin, Cout) matmuls and one scatter-add over just those entries. Only
-if the residual count overflows its cap (``m // 16`` — ~4x the worst
-level observed) does ``band_subm_conv_apply`` route the whole conv
-through the exact gather engine via ``lax.cond``, so the engine is
+repaired by a mini gather-engine pass: plan time compacts the OUTPUT
+ROWS owning any out-of-window entry (one small nonzero over M — a
+per-ENTRY compaction over the (M, K) mask cost 50 ms at 1M rows and ate
+the engine's gains) plus a per-row masked rulebook slice; the kernel's
+one-hot match silently drops those entries (their local index falls
+outside the iota range), and ``_band_impl`` adds K tiny gather+matmuls
+over just those rows, scatter-added back at sorted unique indices. Only
+if the violating-row count overflows its cap (``m // 16`` — >30x the
+worst level observed) does ``band_subm_conv_apply`` route the whole
+conv through the exact gather engine via ``lax.cond``, so the engine is
 always exact and fast whenever the banded premise mostly holds.
 
 Replaces spconv ``SubMConv3d`` semantics exactly
@@ -80,12 +82,11 @@ class BandPlan(NamedTuple):
     rulebook: jax.Array  # (M, K) int32, M = missing (gather-engine layout)
     rb_tiles: jax.Array  # (n_tiles, K, TILE) int32 tiled rulebook
     starts: jax.Array  # (n_tiles, G) int32 window anchor per group, /8 rows
-    ok: jax.Array  # () bool — out-of-window entries fit the residual cap
+    ok: jax.Array  # () bool — rows with out-of-window entries fit the cap
     valid: jax.Array  # (M,) bool
-    res_row: jax.Array  # (R,) int32 output rows of out-of-window entries
-    res_off: jax.Array  # (R,) int32 kernel-offset column per entry
-    res_src: jax.Array  # (R,) int32 source feature row per entry
-    res_valid: jax.Array  # (R,) bool — live residual entries
+    res_rows: jax.Array  # (R,) int32 output rows owning any such entry
+    res_rb: jax.Array  # (R, K) int32 rulebook restricted to those entries
+    res_valid: jax.Array  # (R,) bool — live residual rows
     wmark: jax.Array  # (WIN,) zeros — static window-size marker
 
 
@@ -126,25 +127,35 @@ def build_band_plan(
     ).astype(jnp.int32)
     local = grouped - (base8 * 8)[:, :, None, None]
     viol = found & ((local < 0) | (local >= win))
-    # compact out-of-window entries into a static-cap COO residual list;
-    # worst level observed on 0.02 m bench clouds is ~m/59 entries
+    # compact the output ROWS owning any out-of-window entry (a per-ENTRY
+    # nonzero over the (Mp, K) mask cost ~50 ms at 1M rows); each such
+    # row carries its rulebook restricted to just those entries, repaired
+    # by a mini gather-conv in _band_impl. Worst level observed on 0.02 m
+    # bench clouds: ~m/59 entries over fewer rows.
     rcap = max(m // 16, 256)
-    count = jnp.sum(viol)
-    t_i, g_i, z_i, p_i = jnp.nonzero(viol, size=rcap, fill_value=0)
+    row_viol = jnp.any(viol, axis=(1, 2))  # (n_tiles, TILE)
+    count = jnp.sum(row_viol)
+    # fill rows use m-1 so the compacted list stays ascending (the repair
+    # scatter-add passes indices_are_sorted; fill contributions are zero)
+    (res_rows,) = jnp.nonzero(
+        row_viol.reshape(-1), size=rcap, fill_value=m - 1
+    )
     res_valid = jnp.arange(rcap) < count
+    res_rows = jnp.where(res_valid, res_rows, m - 1).astype(jnp.int32)
+    # (Mp, K) rulebook masked to out-of-window entries, sliced per row:
+    # viol is (n_tiles, g, ksize, TILE) == (n_tiles, K, TILE) with K in
+    # rulebook column order (dz fastest), so transpose K and TILE back
+    viol_mk = viol.reshape(n_tiles, k, TILE).swapaxes(1, 2).reshape(mp, k)
+    rb_masked = jnp.where(viol_mk, rb, m)
+    res_rb = jnp.where(res_valid[:, None], rb_masked[res_rows], m)
     return BandPlan(
         rulebook=rulebook,
         rb_tiles=tiles,
         starts=base8,
         ok=count <= rcap,
         valid=valid,
-        res_row=jnp.where(
-            res_valid, (t_i * TILE + p_i).astype(jnp.int32), 0
-        ),
-        res_off=(g_i * ksize + z_i).astype(jnp.int32),
-        res_src=jnp.where(
-            res_valid, grouped[t_i, g_i, z_i, p_i], 0
-        ),
+        res_rows=res_rows,
+        res_rb=res_rb.astype(jnp.int32),
         res_valid=res_valid,
         wmark=jnp.zeros((win,), jnp.int32),
     )
@@ -261,17 +272,20 @@ def _band_impl(feats, weights, plan: BandPlan, valid, nsplit: int):
         plan.rb_tiles, plan.starts, fparts, weights, m, nsplit,
         plan.wmark.shape[0],
     )[:m]
-    # residual repair: entries the kernel's iota match dropped (out of
-    # window). One gather, K masked matmuls, one scatter-add — exact f32.
-    gathered = masked[plan.res_src] * plan.res_valid[:, None]
-    contrib = jnp.zeros((gathered.shape[0], weights.shape[-1]), jnp.float32)
+    # residual repair: a mini gather-engine conv over just the rows whose
+    # windows missed entries — K tiny gathers+matmuls, exact f32, then
+    # one scatter-add at sorted (mostly unique) indices.
+    feats_pad = jnp.concatenate([masked, jnp.zeros((1, cin), masked.dtype)])
+    contrib = jnp.zeros(
+        (plan.res_rb.shape[0], weights.shape[-1]), jnp.float32
+    )
     for kk in range(weights.shape[0]):
-        sel = (plan.res_off == kk).astype(gathered.dtype)[:, None]
+        gathered = feats_pad[jnp.minimum(plan.res_rb[:, kk], m)]
         contrib = contrib + jnp.dot(
-            gathered * sel, weights[kk],
-            preferred_element_type=jnp.float32,
+            gathered, weights[kk], preferred_element_type=jnp.float32
         )
-    out = out.at[plan.res_row].add(contrib)
+    contrib = contrib * plan.res_valid[:, None]
+    out = out.at[plan.res_rows].add(contrib, indices_are_sorted=True)
     return out * valid[:, None]
 
 
@@ -290,18 +304,17 @@ def band_subm_conv_apply(
     nsplit = 1 if dtype == jnp.bfloat16 else 2
     return _band_conv_vjp(
         plan.ok, plan.rulebook, plan.rb_tiles, plan.starts,
-        plan.res_row, plan.res_off, plan.res_src, plan.res_valid,
+        plan.res_rows, plan.res_rb, plan.res_valid,
         plan.wmark, nsplit, feats, weights, valid,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(9,))
-def _band_conv_vjp(ok, rulebook, rb_tiles, starts, res_row, res_off,
-                   res_src, res_valid, wmark, nsplit, feats, weights,
-                   valid):
+@partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _band_conv_vjp(ok, rulebook, rb_tiles, starts, res_rows, res_rb,
+                   res_valid, wmark, nsplit, feats, weights, valid):
     plan = BandPlan(
         rulebook, rb_tiles, starts, ok, valid,
-        res_row, res_off, res_src, res_valid, wmark,
+        res_rows, res_rb, res_valid, wmark,
     )
     from .sparse import _subm_conv_impl
 
@@ -315,18 +328,15 @@ def _band_conv_vjp(ok, rulebook, rb_tiles, starts, res_row, res_off,
     )
 
 
-def _band_conv_fwd(ok, rulebook, rb_tiles, starts, res_row, res_off,
-                   res_src, res_valid, wmark, nsplit, feats, weights,
-                   valid):
+def _band_conv_fwd(ok, rulebook, rb_tiles, starts, res_rows, res_rb,
+                   res_valid, wmark, nsplit, feats, weights, valid):
     out = _band_conv_vjp(
-        ok, rulebook, rb_tiles, starts,
-        res_row, res_off, res_src, res_valid, wmark,
-        nsplit, feats, weights, valid,
+        ok, rulebook, rb_tiles, starts, res_rows, res_rb, res_valid,
+        wmark, nsplit, feats, weights, valid,
     )
     return out, (
-        ok, rulebook, rb_tiles, starts,
-        res_row, res_off, res_src, res_valid, wmark,
-        feats, weights, valid,
+        ok, rulebook, rb_tiles, starts, res_rows, res_rb, res_valid,
+        wmark, feats, weights, valid,
     )
 
 
@@ -340,18 +350,16 @@ def _band_conv_bwd(nsplit, res, g):
     rulebook's found entries). d_weights recomputes the forward gathers
     via the gather engine's formulation (K gather+matmuls, as the gather
     engine's VJP)."""
-    (ok, rulebook, rb_tiles, starts,
-     res_row, res_off, res_src, res_valid, wmark,
-     feats, weights, valid) = res
+    (ok, rulebook, rb_tiles, starts, res_rows, res_rb, res_valid,
+     wmark, feats, weights, valid) = res
     m, cin = feats.shape
     k = weights.shape[0]
     dtype = jnp.bfloat16 if nsplit == 1 else jnp.float32
 
     w_bwd = weights[::-1].swapaxes(-1, -2)  # offs[k] == -offs[K-1-k]
     d_feats = _band_conv_vjp(
-        ok, rulebook, rb_tiles, starts,
-        res_row, res_off, res_src, res_valid, wmark,
-        nsplit, g * valid[:, None], w_bwd, valid,
+        ok, rulebook, rb_tiles, starts, res_rows, res_rb, res_valid,
+        wmark, nsplit, g * valid[:, None], w_bwd, valid,
     ).astype(feats.dtype)
 
     g16 = (g * valid[:, None]).astype(dtype)
@@ -366,7 +374,7 @@ def _band_conv_bwd(nsplit, res, g):
             jnp.dot(gathered.T, g16, preferred_element_type=jnp.float32)
         )
     d_weights = jnp.stack(d_w).astype(weights.dtype)
-    return (None, None, None, None, None, None, None, None, None,
+    return (None, None, None, None, None, None, None, None,
             d_feats, d_weights, None)
 
 
