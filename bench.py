@@ -48,10 +48,10 @@ def _device_reachable(timeout: float = 240.0) -> bool:
         return False
 
 
-def main(n_devices: int = 1, treelearn_engine: str = "gather",
-         ptv3_stem_engine: str = "gather",
-         ptv3_compute_dtype: str = "float32",
-         treelearn_conv_dtype: str = "float32",
+def main(n_devices: int = 1, treelearn_engine: str = "band",
+         ptv3_stem_engine: str = "band",
+         ptv3_compute_dtype: str = "bfloat16",
+         treelearn_conv_dtype: str = "bfloat16",
          treelearn_brick_impl: str = "conv"):
     if not _device_reachable():
         qsm_seconds = _bench_qsm()
@@ -114,17 +114,17 @@ def main(n_devices: int = 1, treelearn_engine: str = "gather",
         # dense clouds dedupe heavily (measured 187,082 voxels / ~36k
         # bricks for this 1.05M-point batch); bound the static arrays
         # accordingly: divisor 5 keeps 12% headroom at L0 (cap 209,715)
-        # and the sparse engine's gather cost scales with the padded
-        # size (measured 1.67 -> 2.37M pts/s going 4 -> 5). Overflow is
+        # and the sparse engines' costs scale with the padded size
+        # (measured 1.67 -> 2.37M pts/s going 4 -> 5). Overflow is
         # counted and asserted zero below. Engine comparison on this
-        # workload (v5e-1): gather 2.37M, pencil(cells=4) 1.92M, brick
-        # 1.07M pts/s (XLA 3D conv at C=32 eats the halo win) — gather
-        # stays the default; see ROADMAP.md.
+        # workload (v5e-1): band+bf16 3.94M, gather 2.93M, pencil
+        # (cells=4) 1.92M, brick 1.07M pts/s — the banded one-hot Pallas
+        # conv (ops/bandconv.py) is the default; see ROADMAP.md.
         voxel_capacity_divisor=5,
         engine=treelearn_engine,
-        # conv_dtype="bfloat16" measured equal end-to-end here (1.41 vs
-        # 1.43M pts/s): on real surface data the sorted-order gathers are
-        # cache-friendly and convs are not the bottleneck; keep f32.
+        # bfloat16 halves the band engine's MXU work (no hi/lo split);
+        # offsets move within 3.1e-4 of f32 — well inside the 1e-3
+        # parity budget (band+f32split 2.93 -> band+bf16 3.94M pts/s).
         conv_dtype=treelearn_conv_dtype,
         brick_impl=treelearn_brick_impl,
     )
@@ -384,11 +384,11 @@ if __name__ == "__main__":
         help="shard the TreeLearn inference batch over this many devices "
         "(tree-granular data parallelism); 1 = single chip (default)",
     )
-    ap.add_argument("--treelearn_engine", default="gather")
-    ap.add_argument("--treelearn_conv_dtype", default="float32")
+    ap.add_argument("--treelearn_engine", default="band")
+    ap.add_argument("--treelearn_conv_dtype", default="bfloat16")
     ap.add_argument("--treelearn_brick_impl", default="conv")
-    ap.add_argument("--ptv3_stem_engine", default="gather")
-    ap.add_argument("--ptv3_compute_dtype", default="float32")
+    ap.add_argument("--ptv3_stem_engine", default="band")
+    ap.add_argument("--ptv3_compute_dtype", default="bfloat16")
     a = ap.parse_args()
     main(
         n_devices=a.n_devices,

@@ -50,7 +50,7 @@ def main():
     ap.add_argument("--profile", default=None)
     ap.add_argument(
         "--sweep", action="store_true",
-        help="compare {gather,zpack stem} x {f32,bf16} variants",
+        help="compare {gather,zpack,band stem} x {f32,bf16} variants",
     )
     args = ap.parse_args()
 
@@ -78,6 +78,9 @@ def main():
             dict(pool_shrink=4, dedup_divisor=4,
                  compute_dtype="bfloat16"),
             dict(pool_shrink=4, dedup_divisor=4, stem_engine="zpack",
+                 compute_dtype="bfloat16"),
+            dict(pool_shrink=4, dedup_divisor=4, stem_engine="band"),
+            dict(pool_shrink=4, dedup_divisor=4, stem_engine="band",
                  compute_dtype="bfloat16"),
         ):
             m = build_model("pointtransformerv3", **kw)

@@ -748,7 +748,7 @@ class TestDedup:
     def test_zpack_stem_matches_gather_stem(self, rng):
         args = self._dup_batch(rng, n=512, copies=2)
         outs = []
-        for engine in ("gather", "zpack"):
+        for engine in ("gather", "zpack", "band"):
             model = PointTransformerWithHeads(
                 dim_feat=4, use_feats=True, voxel_size=0.05,
                 dedup_divisor=2, stem_engine=engine, **TINY
@@ -758,8 +758,9 @@ class TestDedup:
             assert int(out["dedup_overflow"]) == 0
             outs.append(np.asarray(out["offset_predictions"]))
         # same weights tensor, fp accumulation order differs (k^2 packed
-        # dots vs k^3 row dots)
+        # dots vs k^3 row dots; band = bf16 hi/lo split MXU one-hots)
         np.testing.assert_allclose(outs[0], outs[1], atol=2e-3)
+        np.testing.assert_allclose(outs[0], outs[2], atol=2e-3)
 
     def test_zpack_trains_with_finite_grads(self, rng):
         """Gradients flow through the z-pack stem + lex-permuted pooled

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.bandconv import BandPlan, build_band_plan
 from ..ops.serialization import encode
 from ..ops.sparse import (
     ZPlan,
@@ -510,6 +511,8 @@ class CPE(nn.Module):
     ):
         if isinstance(rulebook, ZPlan):
             k = int(round(rulebook.ext.shape[1] ** 0.5)) ** 3
+        elif isinstance(rulebook, BandPlan):
+            k = rulebook.rulebook.shape[1]
         else:
             k = rulebook.shape[1]
         w = self.param(
@@ -806,6 +809,10 @@ class Embedding(nn.Module):
                 rulebook = build_rulebook(
                     dedup.coords, dedup.valid, 5, table=table
                 )
+                if self.engine == "band":
+                    # banded one-hot Pallas conv (ops/bandconv.py) over
+                    # the lex-sorted unique set; dispatch on the BandPlan
+                    rulebook = build_band_plan(rulebook, dedup.valid)
                 x_u = subm_conv_apply(u_feat, w, rulebook, dedup.valid)
             x = _dedup_broadcast(x_u, dedup)
         else:
@@ -856,7 +863,9 @@ class PointTransformerV3(nn.Module):
     #: see ops.sparse.DedupMap). Static unique-voxel cap = P // divisor;
     #: overflow is counted in the output diagnostics. None = off.
     dedup_divisor: int | None = None
-    #: 'gather' (default) or 'zpack': conv engine for EVERY submanifold
+    #: conv engine for EVERY submanifold conv: 'gather' (default),
+    #: 'zpack' (z-pack rows), or 'band' (banded one-hot Pallas MXU conv,
+    #: ops/bandconv.py)
     #: conv — the k=5 stem + L0 xCPEs run on the lex-sorted unique-voxel
     #: set (requires dedup_divisor; falls back to gather at L0 without
     #: it), and each pooled level is re-stored in lex order so its xCPEs
@@ -952,10 +961,10 @@ class PointTransformerV3(nn.Module):
                     pdnorm=self.pdnorm,
                     name=f"enc{s}_down",
                 )(ps, train, shuffle_rng=rngs[s], cond=cond)
-                if self.stem_engine == "zpack":
+                if self.stem_engine in ("zpack", "band"):
                     # pooled levels are duplicate-free but cluster-
-                    # ordered; re-store them in lex order so the z-pack
-                    # engine serves their xCPEs too
+                    # ordered; re-store them in lex order so the z-pack /
+                    # banded engines serve their xCPEs too
                     coarse, cluster = _lex_permute_level(coarse, cluster)
                 skips.append((ps, cluster, rulebook, level_dd))
                 ps = coarse
@@ -973,6 +982,8 @@ class PointTransformerV3(nn.Module):
                     rulebook = build_rulebook(
                         dd.coords, dd.valid, 3, table=table0
                     )
+                    if self.stem_engine == "band":
+                        rulebook = build_band_plan(rulebook, dd.valid)
             else:
                 level_dd = None
                 coords4 = jnp.concatenate(
@@ -985,6 +996,10 @@ class PointTransformerV3(nn.Module):
                         coords4, ps.valid, 3,
                         table=table0 if s == 0 else None,
                     )
+                    if self.stem_engine == "band" and s > 0:
+                        # s == 0 without dedup is not lex-sorted (points
+                        # keep serialized order); band needs lex order
+                        rulebook = build_band_plan(rulebook, ps.valid)
             for i in range(self.enc_depths[s]):
                 ps = PTv3Block(
                     channels=self.enc_channels[s],
@@ -1063,7 +1078,9 @@ class PointTransformerWithHeads(nn.Module):
     #: see ops.sparse.DedupMap). Static unique-voxel cap = P // divisor;
     #: overflow is counted in the output diagnostics. None = off.
     dedup_divisor: int | None = None
-    #: 'gather' (default) or 'zpack': conv engine for EVERY submanifold
+    #: conv engine for EVERY submanifold conv: 'gather' (default),
+    #: 'zpack' (z-pack rows), or 'band' (banded one-hot Pallas MXU conv,
+    #: ops/bandconv.py)
     #: conv — the k=5 stem + L0 xCPEs run on the lex-sorted unique-voxel
     #: set (requires dedup_divisor; falls back to gather at L0 without
     #: it), and each pooled level is re-stored in lex order so its xCPEs

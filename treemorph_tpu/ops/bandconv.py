@@ -299,9 +299,22 @@ def band_subm_conv_apply(
     """Submanifold conv on the banded engine; same weights layout as
     :func:`treemorph_tpu.ops.sparse.subm_conv_apply` (engine-
     interchangeable checkpoints). Falls back to the exact gather engine
-    when the plan's residual cap overflowed (``plan.ok`` false)."""
+    when the plan's residual cap overflowed (``plan.ok`` false), or —
+    statically — when the kernel's VMEM working set (the full weight
+    block plus the double-buffered per-group feature windows) would
+    blow the ~16 MB scoped limit: deep narrow levels (C >= 256 at k=27)
+    OOM the stack, and their voxel counts are tiny, so the gather
+    engine is the right tool there anyway."""
     dtype = jnp.dtype(compute_dtype or feats.dtype)
     nsplit = 1 if dtype == jnp.bfloat16 else 2
+    k, cin, cout = weights.shape
+    g = round(k ** (1 / 3)) ** 2
+    win = plan.wmark.shape[0]
+    vmem_bytes = k * cin * cout * 4 + g * nsplit * 2 * win * cin * 2
+    if vmem_bytes > 12 * 2**20:
+        from .sparse import _subm_conv
+
+        return _subm_conv(dtype, feats, weights, plan.rulebook, valid)
     return _band_conv_vjp(
         plan.ok, plan.rulebook, plan.rb_tiles, plan.starts,
         plan.res_rows, plan.res_rb, plan.res_valid,
