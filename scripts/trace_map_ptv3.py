@@ -28,6 +28,8 @@ def main():
 
     dd = sys.argv[1] if len(sys.argv) > 1 else "4"
     dd = None if dd == "none" else int(dd)
+    engine = sys.argv[2] if len(sys.argv) > 2 else "band"
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
 
     n = 131072
     rng = np.random.default_rng(0)
@@ -45,7 +47,8 @@ def main():
     valid = jnp.ones(n, bool)
 
     model = build_model(
-        "pointtransformerv3", pool_shrink=4, dedup_divisor=dd
+        "pointtransformerv3", pool_shrink=4, dedup_divisor=dd,
+        stem_engine=engine, compute_dtype=dtype,
     )
     variables = jax.jit(
         lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)
@@ -77,6 +80,7 @@ def main():
         t = json.load(f)
 
     agg = defaultdict(float)
+    raw = defaultdict(float)
     total = 0.0
     for ev in t["traceEvents"]:
         if ev.get("ph") != "X" or ev.get("pid") != 3:
@@ -91,9 +95,13 @@ def main():
         segs = [s for s in op.split("/") if s]
         key = "/".join(segs[:3]) if segs else f"<unmapped {name[:28]}>"
         agg[key] += dur
+        raw[(name, op)] += dur
     print(f"total {total:.1f} ms/iter")
     for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:45]:
         print(f"{v:8.2f} ms  {k[:120]}")
+    print("\n--- top raw ops (hlo name -> full op path) ---")
+    for (name, op), v in sorted(raw.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{v:8.2f} ms  {name[:40]:42s} {op[:140]}")
 
 
 if __name__ == "__main__":

@@ -29,6 +29,8 @@ def main():
 
     dd = sys.argv[1] if len(sys.argv) > 1 else "4"
     dd = None if dd == "none" else int(dd)
+    engine = sys.argv[2] if len(sys.argv) > 2 else "band"
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
 
     n = 131072
     rng = np.random.default_rng(0)
@@ -46,7 +48,8 @@ def main():
     valid = jnp.ones(n, bool)
 
     model = build_model(
-        "pointtransformerv3", pool_shrink=4, dedup_divisor=dd
+        "pointtransformerv3", pool_shrink=4, dedup_divisor=dd,
+        stem_engine=engine, compute_dtype=dtype,
     )
     variables = jax.jit(
         lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)

@@ -79,6 +79,17 @@ def parse_args():
     p.add_argument("--channels", type=int, default=32)
     p.add_argument("--depth", type=int, default=5, help="pointnet2 depth")
     p.add_argument("--dim_feat", type=int, default=4)
+    p.add_argument("--engine", default="gather",
+                   choices=["gather", "band", "zpack", "pencil", "brick"],
+                   help="TreeLearn conv engine / PTv3 stem_engine "
+                   "(band = banded one-hot Pallas MXU conv, the bench "
+                   "default; all engines share one param tree, so "
+                   "checkpoints stay interchangeable)")
+    p.add_argument("--conv_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv compute dtype (bfloat16 = MXU rate, f32 "
+                   "accumulation; for PTv3 this also sets attention/MLP "
+                   "compute_dtype)")
     p.add_argument("--dedup_divisor", type=int, default=None,
                    help="ptv3: run level-0 convs once per unique voxel "
                         "(static cap = points // divisor; overflow is "
@@ -100,6 +111,8 @@ def build(args, batch_size: int, axis_name=None):
             dim_feat=args.dim_feat,
             voxel_size=args.voxel_size or 0.02,
             batch_size=batch_size,
+            engine=args.engine,
+            conv_dtype=args.conv_dtype,
         )
         # With a noise_root the semantic head trains on a second backbone
         # pass over the synthetic noise clouds (reference
@@ -120,6 +133,8 @@ def build(args, batch_size: int, axis_name=None):
             use_feats=True,
             voxel_size=args.voxel_size or 0.02,
             dedup_divisor=args.dedup_divisor,
+            stem_engine=args.engine if args.engine != "pencil" else "gather",
+            compute_dtype=args.conv_dtype,
         )
         fam = families.ptv3_family(
             model, args.loss_multiplier_semantic,

@@ -834,3 +834,111 @@ class TestBF16Compute:
         assert np.abs(outs["float32"] - outs["bfloat16"]).mean() < (
             0.1 * scale + 1e-3
         )
+
+
+class TestDedupTokens:
+    """Whole-backbone token dedup (``dedup_tokens``): one token per
+    occupied voxel, predictions broadcast back to points."""
+
+    def test_matches_base_on_duplicate_free_cloud(self, rng):
+        # no duplicates -> the token set IS the point set (re-stored in
+        # lex order); same math modulo fp reduction order
+        args = TestDedup._dup_batch(TestDedup(), rng, n=512, copies=1)
+        base = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05, **TINY
+        )
+        tok = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05,
+            dedup_divisor=1, dedup_tokens=True, **TINY
+        )
+        var = jax.jit(
+            lambda r, c, f, b, v: base.init(r, c, f, b, v, train=False)
+        )(jax.random.key(0), *args)
+        out0 = jax.jit(
+            lambda p, c, f, b, v: base.apply(p, c, f, b, v, train=False)
+        )(var, *args)
+        out1 = jax.jit(
+            lambda p, c, f, b, v: tok.apply(p, c, f, b, v, train=False)
+        )(var, *args)
+        assert int(out1["dedup_overflow"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(out0["offset_predictions"]),
+            np.asarray(out1["offset_predictions"]),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out0["semantic_prediction_logits"]),
+            np.asarray(out1["semantic_prediction_logits"]),
+            rtol=2e-4, atol=2e-4,
+        )
+
+    def test_duplicates_share_predictions(self, rng):
+        args = TestDedup._dup_batch(TestDedup(), rng, n=256, copies=3)
+        coords, feats, batch_ids, valid = args
+        tok = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05,
+            dedup_divisor=1, dedup_tokens=True, **TINY
+        )
+        var = jax.jit(
+            lambda r, c, f, b, v: tok.init(r, c, f, b, v, train=False)
+        )(jax.random.key(0), *args)
+        out = jax.jit(
+            lambda p, c, f, b, v: tok.apply(p, c, f, b, v, train=False)
+        )(var, *args)
+        assert int(out["dedup_overflow"]) == 0
+        off = np.asarray(out["offset_predictions"])
+        v = np.asarray(valid)
+        assert np.all(np.isfinite(off[v]))
+        # exact duplicates (every voxel holds 3 copies) -> identical rows
+        n = v.sum() // 3
+        for k in range(3):
+            np.testing.assert_array_equal(
+                off[: 3 * n][k::3], off[: 3 * n][0::3]
+            )
+
+    def test_gradients_flow(self, rng):
+        args = TestDedup._dup_batch(TestDedup(), rng, n=256, copies=3)
+        coords, feats, batch_ids, valid = args
+        tok = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05,
+            dedup_divisor=1, dedup_tokens=True, **TINY
+        )
+        var = tok.init(
+            jax.random.key(0), *args, train=False
+        )
+        tgt = jnp.asarray(
+            np.random.default_rng(3).normal(
+                size=(coords.shape[0], 3)
+            ).astype(np.float32)
+        )
+
+        def loss(params):
+            out = tok.apply(
+                {"params": params, **{
+                    k: v for k, v in var.items() if k != "params"
+                }},
+                *args, train=False,
+            )
+            d = (out["offset_predictions"] - tgt) * valid[:, None]
+            return jnp.sum(d * d)
+
+        g = jax.grad(loss)(var["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+        assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+    def test_param_tree_matches_base(self, rng):
+        # token mode must stay checkpoint-interchangeable with the base
+        args = TestDedup._dup_batch(TestDedup(), rng, n=256, copies=1)
+        base = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05, **TINY
+        )
+        tok = PointTransformerWithHeads(
+            dim_feat=4, use_feats=True, voxel_size=0.05,
+            dedup_divisor=1, dedup_tokens=True, **TINY
+        )
+        v0 = base.init(jax.random.key(0), *args, train=False)
+        v1 = tok.init(jax.random.key(0), *args, train=False)
+        p0 = jax.tree_util.tree_structure(v0["params"])
+        p1 = jax.tree_util.tree_structure(v1["params"])
+        assert p0 == p1

@@ -146,3 +146,56 @@ def test_dp_train_step_collective_structure_and_parity():
     )
     for bad in ("all-gather", "all-to-all", "collective-permute"):
         assert ev_counts[bad] == 0, (bad, ev_counts)
+
+
+@pytest.mark.slow
+def test_sharded_raster_inference_collective_structure():
+    """predict_rasterized_sharded's compiled program (VERDICT r3 #7):
+    raster tiles shard over the data axis, the per-point accumulators
+    reassemble with ONE psum_scatter each (reduce-scatter family), and
+    the point list is never all-gathered."""
+    from treemorph_tpu.models import PointNet2
+    from treemorph_tpu.pipeline.predict import make_raster_shard_fn
+
+    n = 8
+    assert jax.device_count() >= n
+    mesh = make_mesh(n)
+
+    model = PointNet2(depth=2, dim_feat=4, use_coords=True,
+                      use_features=True)
+    max_pts, minibatch, n_pad = 64, 2, 1024
+    variables = jax.jit(
+        lambda r, c, f, v: model.init(r, c, f, v, train=False)
+    )(
+        jax.random.key(0),
+        jnp.zeros((minibatch, max_pts, 3)),
+        jnp.zeros((minibatch, max_pts, 4)),
+        jnp.ones((minibatch, max_pts), bool),
+    )
+    run = make_raster_shard_fn(
+        model, "offset_predictions", mesh, minibatch, n_pad, max_pts
+    )
+
+    r_pad = 2 * minibatch * n  # 2 minibatches per device
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(
+        rng.integers(0, n_pad, (r_pad, max_pts)).astype(np.int32)
+    )
+    vmask = jnp.ones((r_pad, max_pts), bool)
+    pts = jnp.asarray(rng.normal(size=(n_pad, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(n_pad, 4)).astype(np.float32))
+
+    compiled = run.lower(idx, vmask, pts, feats, variables).compile()
+    counts = _collective_ops(compiled.as_text())
+
+    # the two psum_scatters must exist (reduce-scatter, or all-reduce if
+    # the backend lowers them that way)...
+    assert counts["reduce-scatter"] + counts["all-reduce"] > 0, counts
+    # ...and the full point list must never be re-globalized
+    assert counts["all-gather"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
+
+    acc, cnt = compiled(idx, vmask, pts, feats, variables)
+    assert np.all(np.isfinite(np.asarray(acc)))
+    # every raster point was counted once per occurrence across chips
+    assert float(jnp.sum(cnt)) == pytest.approx(r_pad * max_pts)

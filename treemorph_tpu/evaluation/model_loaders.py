@@ -51,17 +51,31 @@ class Predictor:
     model: Any
     variables: Any
 
+    def _fn(self, kind: str, make):
+        # cache the jitted apply per instance — a fresh lambda per call
+        # would re-trace on every predict (one trace per cloud adds up)
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if kind not in cache:
+            cache[kind] = jax.jit(make())
+        return cache[kind]
+
     def predict_flat(self, coords, feats, batch_ids, valid):
         """Flat voxel-model layout (treelearn / ptv3)."""
-        fn = jax.jit(
-            lambda p, c, f, b, v: self.model.apply(p, c, f, b, v, train=False)
+        fn = self._fn(
+            "flat",
+            lambda: lambda p, c, f, b, v: self.model.apply(
+                p, c, f, b, v, train=False
+            ),
         )
         return fn(self.variables, coords, feats, batch_ids, valid)
 
     def predict_padded(self, coords, feats, valid):
         """Padded (B, N, ...) layout (pointnet2)."""
-        fn = jax.jit(
-            lambda p, c, f, v: self.model.apply(p, c, f, v, train=False)
+        fn = self._fn(
+            "padded",
+            lambda: lambda p, c, f, v: self.model.apply(
+                p, c, f, v, train=False
+            ),
         )
         return fn(self.variables, coords, feats, valid)
 

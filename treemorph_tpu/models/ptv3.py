@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.bandconv import BandPlan, build_band_plan
+from ..ops.bandconv import BandPlan, ZBandPlan, choose_band_plan
 from ..ops.serialization import encode
 from ..ops.sparse import (
     ZPlan,
@@ -97,6 +97,16 @@ def _serialize(
     )
 
 
+def quantize_grid(coord, valid, grid_size: float):
+    """Grid coords against the global (valid) min (reference
+    ``Point.serialization``, blocks.py:114-118)."""
+    big = jnp.float32(3.4e38)
+    mins = jnp.min(jnp.where(valid[:, None], coord, big), axis=0)
+    mins = jnp.where(jnp.isfinite(mins), mins, 0.0)
+    grid_coord = jnp.floor((coord - mins) / grid_size).astype(jnp.int32)
+    return jnp.where(valid[:, None], jnp.maximum(grid_coord, 0), 0)
+
+
 def make_pointset(
     coord,
     feat,
@@ -106,18 +116,18 @@ def make_pointset(
     depth: int = 16,
     order_names: Sequence[str] = DEFAULT_ORDERS,
     shuffle_rng=None,
+    grid_coord=None,
 ) -> PointSet:
     """Grid-quantize + serialize a flat padded batch.
 
     Matches reference ``Point.serialization`` (blocks.py:98-153): grid
     coords against the global (valid) min, curve codes with batch packed as
     the primary key, optional random shuffle of the order list.
+    ``grid_coord`` skips quantization (token-dedup mode quantizes on the
+    full cloud before compressing — the compressed min would differ).
     """
-    big = jnp.float32(3.4e38)
-    mins = jnp.min(jnp.where(valid[:, None], coord, big), axis=0)
-    mins = jnp.where(jnp.isfinite(mins), mins, 0.0)
-    grid_coord = jnp.floor((coord - mins) / grid_size).astype(jnp.int32)
-    grid_coord = jnp.where(valid[:, None], jnp.maximum(grid_coord, 0), 0)
+    if grid_coord is None:
+        grid_coord = quantize_grid(coord, valid, grid_size)
 
     batch = jnp.where(valid, batch.astype(jnp.int32), INVALID_BATCH)
     orders, inverses, hi, lo = _serialize(
@@ -503,6 +513,10 @@ class CPE(nn.Module):
 
     channels: int
     pdnorm: PDNormSpec | None = None
+    #: conv + linear matmul dtype ('bfloat16' halves the band engine's
+    #: one-hot MXU work — no hi/lo split — and runs the gather engine's
+    #: matmuls at MXU rate; accumulation stays float32)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -511,10 +525,11 @@ class CPE(nn.Module):
     ):
         if isinstance(rulebook, ZPlan):
             k = int(round(rulebook.ext.shape[1] ** 0.5)) ** 3
-        elif isinstance(rulebook, BandPlan):
+        elif isinstance(rulebook, (BandPlan, ZBandPlan)):
             k = rulebook.rulebook.shape[1]
         else:
             k = rulebook.shape[1]
+        dt = jnp.dtype(self.compute_dtype)
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
@@ -523,12 +538,14 @@ class CPE(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.channels,))
         if dedup is not None:
             u_feat = feat[dedup.rows] * dedup.valid[:, None]
-            x_u = subm_conv_apply(u_feat, w, rulebook, dedup.valid)
+            x_u = subm_conv_apply(
+                u_feat, w, rulebook, dedup.valid, compute_dtype=dt
+            )
             x = _dedup_broadcast(x_u, dedup) + b * valid[:, None]
         else:
-            x = subm_conv_apply(feat, w, rulebook, valid)
+            x = subm_conv_apply(feat, w, rulebook, valid, compute_dtype=dt)
             x = x + b * valid[:, None]
-        x = nn.Dense(self.channels)(x)
+        x = nn.Dense(self.channels, dtype=dt)(x).astype(jnp.float32)
         return _norm_ln(
             self.pdnorm, self.channels, "LayerNorm_0", x, valid, train, cond
         )
@@ -555,9 +572,10 @@ class PTv3Block(nn.Module):
         dedup=None,
     ):
         feat = ps.feat
-        feat = feat + CPE(self.channels, self.pdnorm, name="cpe")(
-            feat, rulebook, ps.valid, train, cond, dedup=dedup
-        )
+        feat = feat + CPE(
+            self.channels, self.pdnorm,
+            compute_dtype=self.compute_dtype, name="cpe",
+        )(feat, rulebook, ps.valid, train, cond, dedup=dedup)
 
         shortcut = feat
         x = _norm_ln(
@@ -663,6 +681,12 @@ class SerializedPooling(nn.Module):
                 proj_s * w_s, s_cluster_c, **kw
             )[:cap]
 
+        # clusters beyond the static cap are dropped+masked; COUNT them
+        # so the pipeline can detect degraded outputs and retry with
+        # safe capacities (pool_shrink=2 is lossless for stride-2 data)
+        n_clusters = jnp.sum(new & s_valid).astype(jnp.int32)
+        overflow = jnp.maximum(n_clusters - cap, 0)
+
         counts = jax.ops.segment_sum(w_s[:, 0], s_cluster_c, **kw)[:cap]
         coarse_valid = counts > 0
         feat = feat * coarse_valid[:, None]  # clear sentinel rows
@@ -734,7 +758,7 @@ class SerializedPooling(nn.Module):
             code_hi=chi,
             code_lo=clo,
         )
-        return coarse, cluster
+        return coarse, cluster, overflow
 
 
 class SerializedUnpooling(nn.Module):
@@ -785,12 +809,14 @@ class Embedding(nn.Module):
     channels: int
     pdnorm: PDNormSpec | None = None
     engine: str = "gather"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
         self, ps: PointSet, train: bool, table=None, cond=(0, None),
         dedup=None,
     ):
+        dt = jnp.dtype(self.compute_dtype)
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
@@ -803,7 +829,7 @@ class Embedding(nn.Module):
                     dedup.coords, dedup.valid, 5, table=table
                 )
                 x_u = subm_conv_zpack_apply(
-                    u_feat, w, plan, dedup.valid
+                    u_feat, w, plan, dedup.valid, compute_dtype=dt
                 )
             else:
                 rulebook = build_rulebook(
@@ -811,16 +837,34 @@ class Embedding(nn.Module):
                 )
                 if self.engine == "band":
                     # banded one-hot Pallas conv (ops/bandconv.py) over
-                    # the lex-sorted unique set; dispatch on the BandPlan
-                    rulebook = build_band_plan(rulebook, dedup.valid)
-                x_u = subm_conv_apply(u_feat, w, rulebook, dedup.valid)
+                    # the lex-sorted unique set; dispatch on the plan
+                    rulebook = choose_band_plan(
+                        rulebook, dedup.valid, ps.feat.shape[-1],
+                        self.channels, dt,
+                    )
+                x_u = subm_conv_apply(
+                    u_feat, w, rulebook, dedup.valid, compute_dtype=dt
+                )
             x = _dedup_broadcast(x_u, dedup)
         else:
             coords4 = jnp.concatenate(
                 [ps.batch[:, None], ps.grid_coord], axis=1
             )
-            rulebook = build_rulebook(coords4, ps.valid, 5, table=table)
-            x = subm_conv_apply(ps.feat, w, rulebook, ps.valid)
+            if self.engine == "zpack":
+                # caller guarantees lex order (token-dedup mode)
+                rulebook = build_zplan(coords4, ps.valid, 5, table=table)
+            else:
+                rulebook = build_rulebook(
+                    coords4, ps.valid, 5, table=table
+                )
+                if self.engine == "band":
+                    rulebook = choose_band_plan(
+                        rulebook, ps.valid, ps.feat.shape[-1],
+                        self.channels, dt,
+                    )
+            x = subm_conv_apply(
+                ps.feat, w, rulebook, ps.valid, compute_dtype=dt
+            )
         x = _norm_bn(
             self.pdnorm, self.channels, "MaskedBatchNorm_0", x, ps.valid,
             train, cond,
@@ -863,13 +907,19 @@ class PointTransformerV3(nn.Module):
     #: see ops.sparse.DedupMap). Static unique-voxel cap = P // divisor;
     #: overflow is counted in the output diagnostics. None = off.
     dedup_divisor: int | None = None
+    #: run the ENTIRE backbone on one token per occupied voxel and
+    #: broadcast predictions to points at the end (requires
+    #: dedup_divisor; excludes pad_per_element). Conv/pool math stays
+    #: exact spconv semantics; attention windows partition the unique
+    #: token sequence instead of the duplicated point sequence.
+    dedup_tokens: bool = False
     #: conv engine for EVERY submanifold conv: 'gather' (default),
     #: 'zpack' (z-pack rows), or 'band' (banded one-hot Pallas MXU conv,
-    #: ops/bandconv.py)
-    #: conv — the k=5 stem + L0 xCPEs run on the lex-sorted unique-voxel
-    #: set (requires dedup_divisor; falls back to gather at L0 without
-    #: it), and each pooled level is re-stored in lex order so its xCPEs
-    #: z-pack too. Same weights, spconv math up to fp accumulation order.
+    #: ops/bandconv.py). The k=5 stem + L0 xCPEs run on the lex-sorted
+    #: unique-voxel set (requires dedup_divisor; falls back to gather at
+    #: L0 without it), and each pooled level is re-stored in lex order so
+    #: its xCPEs ride the engine too. Same weights, spconv math up to fp
+    #: accumulation order.
     stem_engine: str = "gather"
     #: 'bfloat16' runs attention qkv/proj + MLP matmuls at MXU bf16
     #: rate (params and norms stay float32; softmax stays float32).
@@ -897,6 +947,51 @@ class PointTransformerV3(nn.Module):
             else [None] * num_stages
         )
 
+        dd = None
+        token_dd = None
+        if self.dedup_tokens:
+            # token-dedup mode: the WHOLE backbone runs on one token per
+            # occupied voxel (the lexicographically-first point of each
+            # cell) and predictions broadcast back to points at the end.
+            # Dense TLS clouds carry several near-identical points per
+            # 0.02 m cell (bench workload: 4.8 points/voxel), and every
+            # level's cost scales with the token count. Deviation from
+            # the reference: attention windows partition the UNIQUE
+            # token sequence, so window contents differ (each window
+            # spans more space); conv/pool math is exact spconv
+            # semantics on the voxel set. Mutually exclusive with the
+            # pad-per-element parity mode.
+            assert self.dedup_divisor, "dedup_tokens needs dedup_divisor"
+            assert not self.pad_per_element, (
+                "dedup_tokens changes window partitioning; use one of "
+                "pad_per_element (parity) or dedup_tokens (speed)"
+            )
+            # quantize against the FULL cloud's min (the compressed
+            # subset's min can differ), then compress
+            gc_full = quantize_grid(coord, valid, self.grid_size)
+            batch_i = jnp.where(
+                valid, batch.astype(jnp.int32), INVALID_BATCH
+            )
+            coords4_full = jnp.concatenate(
+                [batch_i[:, None], gc_full], axis=1
+            )
+            p_in = coord.shape[0]
+            patch = self.enc_patch_size[0]
+            cap_u = max(
+                -(-(p_in // self.dedup_divisor) // patch) * patch, patch
+            )
+            cap_u = min(cap_u, -(-p_in // patch) * patch)
+            token_dd = build_dedup(coords4_full, valid, cap=cap_u)
+            coord = coord[token_dd.rows] * token_dd.valid[:, None]
+            feat = feat[token_dd.rows] * token_dd.valid[:, None]
+            batch = jnp.where(
+                token_dd.valid, token_dd.coords[:, 0], INVALID_BATCH
+            )
+            valid = token_dd.valid
+            grid_pre = token_dd.coords[:, 1:]
+        else:
+            grid_pre = None
+
         ps = make_pointset(
             coord,
             feat,
@@ -906,14 +1001,14 @@ class PointTransformerV3(nn.Module):
             self.depth,
             self.order_names,
             shuffle_rng=rngs[0],
+            grid_coord=grid_pre,
         )
         # one hash table serves both the k=5 embedding stem and the
         # level-0 k=3 xCPE rulebook
         coords4_0 = jnp.concatenate(
             [ps.batch[:, None], ps.grid_coord], axis=1
         )
-        dd = None
-        if self.dedup_divisor:
+        if self.dedup_divisor and not self.dedup_tokens:
             # run level-0 convs once per unique voxel (see DedupMap):
             # dense TLS clouds carry several points per 0.02 m cell, and
             # spconv gives duplicate rows identical conv outputs anyway
@@ -925,7 +1020,12 @@ class PointTransformerV3(nn.Module):
             table0 = build_table(coords4_0, ps.valid)
         ps = Embedding(
             self.enc_channels[0], self.pdnorm,
-            engine=self.stem_engine if dd is not None else "gather",
+            engine=(
+                self.stem_engine
+                if (dd is not None or token_dd is not None)
+                else "gather"
+            ),
+            compute_dtype=self.compute_dtype,
             name="embedding",
         )(ps, train, table=table0, cond=cond, dedup=dd)
 
@@ -942,6 +1042,7 @@ class PointTransformerV3(nn.Module):
         rulebook = None
         level_dd = None
         dp_i = 0
+        pool_overflow = jnp.int32(0)
         for s in range(num_stages):
             if s > 0:
                 # compact the pooled level: halve capacity, rounded up to
@@ -953,7 +1054,7 @@ class PointTransformerV3(nn.Module):
                     patch,
                 )
                 cap = min(cap, p_now)
-                coarse, cluster = SerializedPooling(
+                coarse, cluster, p_over = SerializedPooling(
                     self.enc_channels[s],
                     depth=self.depth,
                     order_names=self.order_names,
@@ -961,6 +1062,7 @@ class PointTransformerV3(nn.Module):
                     pdnorm=self.pdnorm,
                     name=f"enc{s}_down",
                 )(ps, train, shuffle_rng=rngs[s], cond=cond)
+                pool_overflow = pool_overflow + p_over
                 if self.stem_engine in ("zpack", "band"):
                     # pooled levels are duplicate-free but cluster-
                     # ordered; re-store them in lex order so the z-pack /
@@ -983,23 +1085,45 @@ class PointTransformerV3(nn.Module):
                         dd.coords, dd.valid, 3, table=table0
                     )
                     if self.stem_engine == "band":
-                        rulebook = build_band_plan(rulebook, dd.valid)
+                        rulebook = choose_band_plan(
+                            rulebook, dd.valid,
+                            max(self.enc_channels[0], self.dec_channels[0]),
+                            max(self.enc_channels[0], self.dec_channels[0]),
+                            self.compute_dtype,
+                        )
             else:
                 level_dd = None
                 coords4 = jnp.concatenate(
                     [ps.batch[:, None], ps.grid_coord], axis=1
                 )
-                if self.stem_engine == "zpack" and s > 0:
-                    rulebook = build_zplan(coords4, ps.valid, 3)
+                # level 0 is lex-sorted only in token-dedup mode (plain
+                # points keep serialized order); pooled levels always
+                # are (_lex_permute_level) — the band/zpack premise
+                lex = s > 0 or self.dedup_tokens
+                if self.stem_engine == "zpack" and lex:
+                    rulebook = build_zplan(
+                        coords4, ps.valid, 3,
+                        table=table0 if s == 0 else None,
+                    )
                 else:
                     rulebook = build_rulebook(
                         coords4, ps.valid, 3,
                         table=table0 if s == 0 else None,
                     )
-                    if self.stem_engine == "band" and s > 0:
-                        # s == 0 without dedup is not lex-sorted (points
-                        # keep serialized order); band needs lex order
-                        rulebook = build_band_plan(rulebook, ps.valid)
+                    # the level's xCPEs (enc channels here, dec channels
+                    # on the skip) statically route to the gather engine
+                    # when their VMEM working set overflows — building
+                    # the band plan there would be dead compute, so
+                    # choose_band_plan picks zband/band/plain statically
+                    c_lvl = max(
+                        self.enc_channels[s],
+                        self.dec_channels[s] if s < num_stages - 1 else 0,
+                    )
+                    if self.stem_engine == "band" and lex:
+                        rulebook = choose_band_plan(
+                            rulebook, ps.valid, c_lvl, c_lvl,
+                            self.compute_dtype,
+                        )
             for i in range(self.enc_depths[s]):
                 ps = PTv3Block(
                     channels=self.enc_channels[s],
@@ -1047,8 +1171,20 @@ class PointTransformerV3(nn.Module):
                 )(ps, rulebook, train, cond=cond, dedup=level_dd)
         diag = {
             "dedup_overflow": (
-                dd.overflow if dd is not None else jnp.int32(0)
-            )
+                dd.overflow
+                if dd is not None
+                else (
+                    token_dd.overflow
+                    if token_dd is not None
+                    else jnp.int32(0)
+                )
+            ),
+            # token-dedup mode: point -> unique-token map for the final
+            # broadcast (cap marks overflow/invalid points)
+            "token_v2u": token_dd.v2u if token_dd is not None else None,
+            # pooled clusters dropped by the pool_shrink static caps
+            # (0 whenever real coarse counts fit; see SerializedPooling)
+            "pool_overflow": pool_overflow,
         }
         return ps, diag
 
@@ -1078,13 +1214,16 @@ class PointTransformerWithHeads(nn.Module):
     #: see ops.sparse.DedupMap). Static unique-voxel cap = P // divisor;
     #: overflow is counted in the output diagnostics. None = off.
     dedup_divisor: int | None = None
+    #: run the ENTIRE backbone on one token per occupied voxel (see
+    #: PointTransformerV3.dedup_tokens)
+    dedup_tokens: bool = False
     #: conv engine for EVERY submanifold conv: 'gather' (default),
     #: 'zpack' (z-pack rows), or 'band' (banded one-hot Pallas MXU conv,
-    #: ops/bandconv.py)
-    #: conv — the k=5 stem + L0 xCPEs run on the lex-sorted unique-voxel
-    #: set (requires dedup_divisor; falls back to gather at L0 without
-    #: it), and each pooled level is re-stored in lex order so its xCPEs
-    #: z-pack too. Same weights, spconv math up to fp accumulation order.
+    #: ops/bandconv.py). The k=5 stem + L0 xCPEs run on the lex-sorted
+    #: unique-voxel set (requires dedup_divisor; falls back to gather at
+    #: L0 without it), and each pooled level is re-stored in lex order so
+    #: its xCPEs ride the engine too. Same weights, spconv math up to fp
+    #: accumulation order.
     stem_engine: str = "gather"
     #: 'bfloat16' runs attention qkv/proj + MLP matmuls at MXU bf16
     #: rate (params and norms stay float32; softmax stays float32).
@@ -1122,6 +1261,7 @@ class PointTransformerWithHeads(nn.Module):
             pdnorm=self.pdnorm,
             pool_shrink=self.pool_shrink,
             dedup_divisor=self.dedup_divisor,
+            dedup_tokens=self.dedup_tokens,
             stem_engine=self.stem_engine,
             compute_dtype=self.compute_dtype,
             name="backbone",
@@ -1129,8 +1269,18 @@ class PointTransformerWithHeads(nn.Module):
           condition, context)
 
         feat = ps.feat
-        sem = MLPHead(2, name="semantic_head")(feat, valid, train)
-        off = MLPHead(3, name="offset_head")(feat, valid, train)
+        # heads run in the backbone's token domain (= points, or unique
+        # voxels in token-dedup mode), predictions broadcast to points
+        sem = MLPHead(2, name="semantic_head")(feat, ps.valid, train)
+        off = MLPHead(3, name="offset_head")(feat, ps.valid, train)
+        v2u = diag["token_v2u"]
+        if v2u is not None:
+            cap = feat.shape[0]
+            ok = (v2u < cap) & valid
+            idx = jnp.minimum(v2u, cap - 1)
+            feat = feat[idx] * ok[:, None]
+            sem = sem[idx] * ok[:, None]
+            off = off[idx] * ok[:, None]
         return {
             "backbone_feats": feat,
             "semantic_prediction_logits": sem,
@@ -1138,6 +1288,9 @@ class PointTransformerWithHeads(nn.Module):
             # points whose voxel overflowed the level-0 dedup cap (0 in
             # healthy configs; their conv contributions were dropped)
             "dedup_overflow": diag["dedup_overflow"],
+            # pooled clusters dropped by pool_shrink caps (0 in healthy
+            # configs; the pipeline retries with safe caps otherwise)
+            "pool_overflow": diag["pool_overflow"],
         }
 
 

@@ -31,7 +31,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.bandconv import build_band_plan
+from ..ops.bandconv import choose_band_plan
 from ..ops.bricks import (
     BRICK,
     BrickStructure,
@@ -349,12 +349,18 @@ class UBlock(nn.Module):
             return ("gather", plan), jnp.int32(0)
         if self.engine == "band":
             # banded one-hot Pallas conv (ops/bandconv.py); same blocks,
-            # subm_conv_apply dispatches on the BandPlan
+            # subm_conv_apply dispatches on the plan type. Widest conv at
+            # this level is the tail block's first (2C -> C after the
+            # skip concat), which sizes the plan's VMEM viability.
             rb = build_rulebook(
                 coords, valid, self.kernel_size,
                 verify_coords=self.verify_coords,
             )
-            return ("gather", build_band_plan(rb, valid)), jnp.int32(0)
+            plan = choose_band_plan(
+                rb, valid, 2 * self.n_planes[0], self.n_planes[0],
+                self.conv_dtype,
+            )
+            return ("gather", plan), jnp.int32(0)
         if self.engine == "brick" and self.kernel_size == 3:
             m = coords.shape[0]
             cap = max(m // self.brick_divisor, 64)
@@ -559,12 +565,15 @@ class TreeLearnBackbone(nn.Module):
                     verify_coords=self.verify_coords,
                 )
             elif self.engine == "band":
-                rulebook = build_band_plan(
+                rulebook = choose_band_plan(
                     build_rulebook(
                         v_coords, v_valid, self.kernel_size,
                         verify_coords=self.verify_coords,
                     ),
                     v_valid,
+                    vox.voxel_feats.shape[-1],
+                    self.channels,
+                    self.conv_dtype,
                 )
             else:
                 rulebook = build_rulebook(

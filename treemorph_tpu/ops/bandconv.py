@@ -81,7 +81,11 @@ class BandPlan(NamedTuple):
 
     rulebook: jax.Array  # (M, K) int32, M = missing (gather-engine layout)
     rb_tiles: jax.Array  # (n_tiles, K, TILE) int32 tiled rulebook
-    starts: jax.Array  # (n_tiles, G) int32 window anchor per group, /8 rows
+    # (G, n_tiles) int32 window anchor per group in units of 8 rows —
+    # group-major because the scalar-prefetch SMEM layout pads the MINOR
+    # dim to 128 lanes (an (n_tiles, G) layout costs 512 B per tile row
+    # and blows the ~1 MB SMEM budget beyond ~2000 tiles / 256k voxels)
+    starts: jax.Array
     ok: jax.Array  # () bool — rows with out-of-window entries fit the cap
     valid: jax.Array  # (M,) bool
     res_rows: jax.Array  # (R,) int32 output rows owning any such entry
@@ -151,7 +155,7 @@ def build_band_plan(
     return BandPlan(
         rulebook=rulebook,
         rb_tiles=tiles,
-        starts=base8,
+        starts=base8.T,
         ok=count <= rcap,
         valid=valid,
         res_rows=res_rows,
@@ -172,7 +176,7 @@ def _band_kernel(m, nsplit, ksize, win, starts_ref, rb_ref, *rest):
     acc = jnp.zeros((TILE, cout), jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, win), 1)
     for gi in range(g):
-        base = starts_ref[t, gi] * 8
+        base = starts_ref[gi, t] * 8
         for dz in range(ksize):
             kk = gi * ksize + dz
             idx = rb_ref[0, kk, :]  # (T,) global neighbor rows
@@ -197,7 +201,7 @@ def _band_kernel(m, nsplit, ksize, win, starts_ref, rb_ref, *rest):
 @partial(jax.jit, static_argnames=("m", "nsplit", "win"))
 def _band_conv_padded(
     rb_tiles: jax.Array,  # (n_tiles, K, TILE)
-    starts: jax.Array,  # (n_tiles, G) anchors in units of 8 rows
+    starts: jax.Array,  # (G, n_tiles) anchors in units of 8 rows
     fparts: tuple[jax.Array, ...],  # nsplit x (Mp, Cin) bf16
     weights: jax.Array,  # (K, Cin, Cout)
     m: int,
@@ -222,7 +226,7 @@ def _band_conv_padded(
             in_specs.append(
                 pl.BlockSpec(
                     (pl.Element(win), pl.Element(cin)),
-                    partial(lambda gi, t, s: (s[t, gi] * 8, 0), gi),
+                    partial(lambda gi, t, s: (s[gi, t] * 8, 0), gi),
                 )
             )
             operands.append(fp)
@@ -289,6 +293,36 @@ def _band_impl(feats, weights, plan: BandPlan, valid, nsplit: int):
     return out * valid[:, None]
 
 
+def band_vmem_bytes(
+    k: int, cin: int, cout: int, nsplit: int, win: int = WIN,
+    zpack: bool = False,
+) -> int:
+    """Static estimate of the band kernel's VMEM working set: the full
+    weight block plus the double-buffered per-group feature windows.
+    Mosaic pads the lane (channel) dimension to 128, so the window term
+    uses ``max(C, 128)``; the backward re-enters the kernel with
+    channel-transposed weights (windows sized by Cout), so the channel
+    term is ``max(Cin, Cout)`` to cover both directions. ``zpack``
+    windows carry the k z-bands packed per row (ksize x the lanes)."""
+    ksize = round(k ** (1 / 3))
+    g = ksize * ksize
+    win8 = -(-win // 8) * 8
+    c = max(cin, cout)
+    lanes = max(ksize * c if zpack else c, 128)
+    return k * cin * cout * 4 + g * nsplit * 2 * win8 * lanes * 2
+
+
+def band_viable(
+    k: int, cin: int, cout: int, dtype, win: int = WIN,
+    zpack: bool = False,
+) -> bool:
+    """Whether the band kernel statically fits VMEM for this conv shape
+    (otherwise :func:`band_subm_conv_apply` routes to the gather engine,
+    and building a :class:`BandPlan` for the level is dead compute)."""
+    nsplit = 1 if jnp.dtype(dtype) == jnp.bfloat16 else 2
+    return band_vmem_bytes(k, cin, cout, nsplit, win, zpack) <= 12 * 2**20
+
+
 def band_subm_conv_apply(
     feats: jax.Array,  # (M, Cin)
     weights: jax.Array,  # (K, Cin, Cout) — kernel_offsets layout
@@ -308,10 +342,8 @@ def band_subm_conv_apply(
     dtype = jnp.dtype(compute_dtype or feats.dtype)
     nsplit = 1 if dtype == jnp.bfloat16 else 2
     k, cin, cout = weights.shape
-    g = round(k ** (1 / 3)) ** 2
     win = plan.wmark.shape[0]
-    vmem_bytes = k * cin * cout * 4 + g * nsplit * 2 * win * cin * 2
-    if vmem_bytes > 12 * 2**20:
+    if band_vmem_bytes(k, cin, cout, nsplit, win) > 12 * 2**20:
         from .sparse import _subm_conv
 
         return _subm_conv(dtype, feats, weights, plan.rulebook, valid)
@@ -392,3 +424,365 @@ def _band_conv_bwd(nsplit, res, g):
 
 
 _band_conv_vjp.defvjp(_band_conv_fwd, _band_conv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# z-packed band conv: one one-hot select per (dx, dy) group
+# ---------------------------------------------------------------------------
+
+
+class ZBandPlan(NamedTuple):
+    """Banded conv schedule with z-packed feature bands.
+
+    The plain band engine builds one (TILE, WIN) one-hot per kernel
+    OFFSET — K * M * WIN VPU compares dominate it, and each one-hot's
+    select matmul uses only Cin of the MXU's 128 lanes. This variant
+    packs the ksize z-bands of every row into one (M, ksize*Cin) array
+    ``zq`` (``zq[j]`` band dz = features of the voxel at the same
+    (b, x, y) and z_j + dz, or zero — built by pure shifts + compares,
+    the lex-order column-contiguity invariant), anchors every (dx, dy)
+    group at its dz=0 rulebook column, and selects the whole group with
+    ONE one-hot: ksize x fewer compares (k=3: 3x, the k=5 stem: 5x) and
+    ksize x the select-matmul lane utilization, at identical total
+    select FLOPs and exactly spconv's math.
+
+    Group entries whose dz=0 anchor is missing or out-of-window go to
+    the same compacted residual gather-repair as :class:`BandPlan`, so
+    the engine stays exact."""
+
+    rulebook: jax.Array  # (M, K) int32 full rulebook (fallback/repair)
+    anchors: jax.Array  # (n_tiles, G, TILE) int32 dz=0 neighbor rows
+    starts: jax.Array  # (G, n_tiles) int32 window anchor per group, /8
+    zoff: jax.Array  # (M, ksize-1) int32 row shift of the z+dz voxel
+    # (slots dz = -r..-1, +1..+r), 0 = missing
+    ok: jax.Array  # () bool — residual rows fit the cap
+    valid: jax.Array  # (M,) bool
+    res_rows: jax.Array  # (R,) int32 output rows owning residual entries
+    res_rb: jax.Array  # (R, K) int32 rulebook restricted to those entries
+    res_valid: jax.Array  # (R,) bool
+    wmark: jax.Array  # (win,) zeros — static window-size marker
+
+
+def build_zband_plan(
+    rulebook: jax.Array,
+    valid: jax.Array,
+    window: int = WIN,
+    res_divisor: int = 4,
+) -> ZBandPlan:
+    """Window schedule anchored at each (dx, dy) group's dz=0 column.
+
+    Shares :func:`build_band_plan`'s premise (lex-sorted level, monotone
+    rulebook columns); additionally derives the z-shift table from the
+    CENTER group's columns (the (0, 0, dz) neighbors of row i sit at
+    rows i+s with abs(s) <= abs(dz) by column contiguity)."""
+    m, k = rulebook.shape
+    ksize = round(k ** (1 / 3))
+    r = (ksize - 1) // 2
+    g = ksize * ksize
+    win = -(-window // 8) * 8
+    mp = max(-(-m // TILE), -(-win // TILE)) * TILE
+    n_tiles = mp // TILE
+    pad = mp - m
+
+    iota = jnp.arange(m, dtype=jnp.int32)
+    gc = (g - 1) // 2  # center (dx=dy=0) group
+    zoff_cols = []
+    for dz in [*range(-r, 0), *range(1, r + 1)]:
+        col = rulebook[:, gc * ksize + (dz + r)]
+        zoff_cols.append(jnp.where(col < m, col - iota, 0))
+    zoff = jnp.stack(zoff_cols, axis=1)
+
+    rb = jnp.concatenate(
+        [rulebook, jnp.full((pad, k), m, jnp.int32)], axis=0
+    )
+    tiles = rb.reshape(n_tiles, TILE, k).swapaxes(1, 2)  # (n_tiles, K, T)
+    grouped = tiles.reshape(n_tiles, g, ksize, TILE)
+    found = grouped < m
+    anchors = grouped[:, :, r, :]  # (n_tiles, G, TILE)
+    anc_found = found[:, :, r, :]
+    big = jnp.int32(mp)
+    min_idx = jnp.min(
+        jnp.where(anc_found, anchors, big), axis=2
+    )  # (n_tiles, G)
+    has = jnp.any(anc_found, axis=2)
+    base8 = (
+        jnp.clip(jnp.where(has, min_idx, 0), 0, mp - win) // 8
+    ).astype(jnp.int32)
+    local = anchors - (base8 * 8)[:, :, None]
+    covered = anc_found & (local >= 0) & (local < win)
+    viol = found & ~covered[:, :, None, :]
+
+    # missing-anchor groups (a found dz!=0 entry whose dz=0 column is
+    # empty — surface slopes produce them at every column end) land in
+    # the residual list too, so its cap is much larger than BandPlan's
+    rcap = max(m // res_divisor, 256)
+    row_viol = jnp.any(viol, axis=(1, 2))  # (n_tiles, TILE)
+    count = jnp.sum(row_viol)
+    (res_rows,) = jnp.nonzero(
+        row_viol.reshape(-1), size=rcap, fill_value=m - 1
+    )
+    res_valid = jnp.arange(rcap) < count
+    res_rows = jnp.where(res_valid, res_rows, m - 1).astype(jnp.int32)
+    viol_mk = viol.reshape(n_tiles, k, TILE).swapaxes(1, 2).reshape(mp, k)
+    rb_masked = jnp.where(viol_mk, rb, m)
+    res_rb = jnp.where(res_valid[:, None], rb_masked[res_rows], m)
+    return ZBandPlan(
+        rulebook=rulebook,
+        anchors=anchors,
+        starts=base8.T,
+        zoff=zoff,
+        ok=count <= rcap,
+        valid=valid,
+        res_rows=res_rows,
+        res_rb=res_rb.astype(jnp.int32),
+        res_valid=res_valid,
+        wmark=jnp.zeros((win,), jnp.int32),
+    )
+
+
+def _zband_kernel(m, nsplit, ksize, win, starts_ref, anc_ref, *rest):
+    """One output tile: G one-hot selects of z-packed group windows."""
+    g = ksize * ksize
+    zwins = rest[: nsplit * g]
+    w_ref, o_ref = rest[nsplit * g], rest[nsplit * g + 1]
+    t = pl.program_id(0)
+
+    cout = o_ref.shape[-1]
+    e = zwins[0].shape[-1]  # ksize * cin
+    acc = jnp.zeros((TILE, cout), jnp.float32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, win), 1)
+    for gi in range(g):
+        base = starts_ref[gi, t] * 8
+        idx = anc_ref[0, gi, :]  # (T,) dz=0 neighbor rows
+        local = jnp.where(idx < m, idx - base, -1)
+        oh = (iota == local[:, None]).astype(jnp.bfloat16)
+        sel = jnp.zeros((TILE, e), jnp.float32)
+        for s in range(nsplit):
+            sel += jnp.dot(
+                oh, zwins[nsplit * gi + s][...],
+                preferred_element_type=jnp.float32,
+            )
+        w = w_ref[gi]  # (ksize*Cin, Cout)
+        acc += jnp.dot(
+            sel.astype(w.dtype), w, preferred_element_type=jnp.float32
+        )
+    o_ref[...] = acc
+
+
+@partial(jax.jit, static_argnames=("m", "nsplit", "win"))
+def _zband_conv_padded(
+    anchors: jax.Array,  # (n_tiles, G, TILE)
+    starts: jax.Array,  # (G, n_tiles)
+    zq_parts: tuple[jax.Array, ...],  # nsplit x (Mp, ksize*Cin) bf16
+    w2: jax.Array,  # (G, ksize*Cin, Cout)
+    m: int,
+    nsplit: int,
+    win: int,
+) -> jax.Array:
+    n_tiles, g, _ = anchors.shape
+    mp = n_tiles * TILE
+    e = zq_parts[0].shape[-1]
+    cout = w2.shape[-1]
+    ksize = round((g) ** 0.5)
+
+    in_specs = [pl.BlockSpec((1, g, TILE), lambda t, s: (t, 0, 0))]
+    operands = [anchors]
+    for gi in range(g):
+        for zp in zq_parts:
+            in_specs.append(
+                pl.BlockSpec(
+                    (pl.Element(win), pl.Element(e)),
+                    partial(lambda gi, t, s: (s[gi, t] * 8, 0), gi),
+                )
+            )
+            operands.append(zp)
+    in_specs.append(pl.BlockSpec((g, e, cout), lambda t, s: (0, 0, 0)))
+    operands.append(w2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TILE, cout), lambda t, s: (t, 0)),
+    )
+    return pl.pallas_call(
+        partial(_zband_kernel, m, nsplit, ksize, win),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(starts, *operands)
+
+
+def _zband_impl(feats, weights, plan: ZBandPlan, valid, nsplit: int):
+    m, cin = feats.shape
+    k3, _, cout = weights.shape
+    ksize = round(k3 ** (1 / 3))
+    r = (ksize - 1) // 2
+    mp = plan.anchors.shape[0] * TILE
+    masked = feats * valid[:, None]
+
+    def shifted(f, s):
+        if s > 0:
+            return jnp.concatenate(
+                [f[s:], jnp.zeros((s, cin), f.dtype)], axis=0
+            )
+        return jnp.concatenate(
+            [jnp.zeros((-s, cin), f.dtype), f[:s]], axis=0
+        )
+
+    zq_parts = []
+    for p in _split_bf16(masked, nsplit):
+        bands = []
+        for t, dz in enumerate([*range(-r, 0), *range(1, r + 1)]):
+            band = jnp.zeros_like(p)
+            step = 1 if dz > 0 else -1
+            for s in range(step, dz + step, step):
+                band = jnp.where(
+                    (plan.zoff[:, t] == s)[:, None], shifted(p, s), band
+                )
+            bands.append(band)
+        zq = jnp.concatenate(bands[:r] + [p] + bands[r:], axis=1)
+        pad = jnp.zeros((mp - m, ksize * cin), jnp.bfloat16)
+        zq_parts.append(jnp.concatenate([zq, pad], axis=0))
+
+    # (k^3, Cin, Cout) -> (G, ksize*Cin, Cout); kernel_offsets enumerates
+    # dz fastest, matching zq's ascending z bands
+    g = ksize * ksize
+    w2 = weights.reshape(g, ksize * cin, cout)
+    out = _zband_conv_padded(
+        plan.anchors, plan.starts, tuple(zq_parts), w2, m, nsplit,
+        plan.wmark.shape[0],
+    )[:m]
+    # residual repair: identical mini gather-engine pass as _band_impl
+    feats_pad = jnp.concatenate([masked, jnp.zeros((1, cin), masked.dtype)])
+    contrib = jnp.zeros((plan.res_rb.shape[0], cout), jnp.float32)
+    for kk in range(k3):
+        gathered = feats_pad[jnp.minimum(plan.res_rb[:, kk], m)]
+        contrib = contrib + jnp.dot(
+            gathered, weights[kk], preferred_element_type=jnp.float32
+        )
+    contrib = contrib * plan.res_valid[:, None]
+    out = out.at[plan.res_rows].add(contrib, indices_are_sorted=True)
+    return out * valid[:, None]
+
+
+def zband_subm_conv_apply(
+    feats: jax.Array,  # (M, Cin)
+    weights: jax.Array,  # (K, Cin, Cout) — kernel_offsets layout
+    plan: ZBandPlan,
+    valid: jax.Array,
+    compute_dtype=None,
+) -> jax.Array:
+    """Submanifold conv on the z-packed band engine; same weights layout
+    as every other engine (checkpoints stay engine-interchangeable).
+    Routes to the exact gather engine when the residual cap overflowed
+    or the z-packed windows statically exceed VMEM."""
+    dtype = jnp.dtype(compute_dtype or feats.dtype)
+    nsplit = 1 if dtype == jnp.bfloat16 else 2
+    k, cin, cout = weights.shape
+    win = plan.wmark.shape[0]
+    if band_vmem_bytes(k, cin, cout, nsplit, win, zpack=True) > 12 * 2**20:
+        from .sparse import _subm_conv
+
+        return _subm_conv(dtype, feats, weights, plan.rulebook, valid)
+    return _zband_conv_vjp(
+        plan.ok, plan.rulebook, plan.anchors, plan.starts, plan.zoff,
+        plan.res_rows, plan.res_rb, plan.res_valid, plan.wmark, nsplit,
+        feats, weights, valid,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _zband_conv_vjp(ok, rulebook, anchors, starts, zoff, res_rows, res_rb,
+                    res_valid, wmark, nsplit, feats, weights, valid):
+    plan = ZBandPlan(
+        rulebook, anchors, starts, zoff, ok, valid,
+        res_rows, res_rb, res_valid, wmark,
+    )
+    from .sparse import _subm_conv_impl
+
+    return jax.lax.cond(
+        ok,
+        lambda f, w, v: _zband_impl(f, w, plan, v, nsplit),
+        lambda f, w, v: _subm_conv_impl(
+            jnp.bfloat16 if nsplit == 1 else jnp.float32, f, w, rulebook, v
+        ),
+        feats, weights, valid,
+    )
+
+
+def _zband_conv_fwd(ok, rulebook, anchors, starts, zoff, res_rows, res_rb,
+                    res_valid, wmark, nsplit, feats, weights, valid):
+    out = _zband_conv_vjp(
+        ok, rulebook, anchors, starts, zoff, res_rows, res_rb, res_valid,
+        wmark, nsplit, feats, weights, valid,
+    )
+    return out, (
+        ok, rulebook, anchors, starts, zoff, res_rows, res_rb, res_valid,
+        wmark, feats, weights, valid,
+    )
+
+
+def _zband_conv_bwd(nsplit, res, g):
+    """Same adjoint structure as :func:`_band_conv_bwd`: d_feats is the
+    conv of the output grad with the offset-flipped, channel-transposed
+    kernel through the SAME plan (coverage is a property of the rulebook
+    entries, not the weights, so the in-window + residual partition is
+    identical and the evaluation exact); d_weights recomputes the
+    forward gathers via the gather engine's formulation."""
+    (ok, rulebook, anchors, starts, zoff, res_rows, res_rb, res_valid,
+     wmark, feats, weights, valid) = res
+    m, cin = feats.shape
+    k = weights.shape[0]
+    dtype = jnp.bfloat16 if nsplit == 1 else jnp.float32
+
+    w_bwd = weights[::-1].swapaxes(-1, -2)
+    d_feats = _zband_conv_vjp(
+        ok, rulebook, anchors, starts, zoff, res_rows, res_rb, res_valid,
+        wmark, nsplit, g * valid[:, None], w_bwd, valid,
+    ).astype(feats.dtype)
+
+    g16 = (g * valid[:, None]).astype(dtype)
+    feats_pad = jnp.concatenate(
+        [(feats * valid[:, None]).astype(dtype), jnp.zeros((1, cin), dtype)],
+        axis=0,
+    )
+    d_w = []
+    for j in range(k):
+        gathered = feats_pad[rulebook[:, j]]
+        d_w.append(
+            jnp.dot(gathered.T, g16, preferred_element_type=jnp.float32)
+        )
+    d_weights = jnp.stack(d_w).astype(weights.dtype)
+    return (None, None, None, None, None, None, None, None, None,
+            d_feats, d_weights, None)
+
+
+_zband_conv_vjp.defvjp(_zband_conv_fwd, _zband_conv_bwd)
+
+
+def choose_band_plan(
+    rulebook: jax.Array,
+    valid: jax.Array,
+    cin: int,
+    cout: int,
+    dtype,
+    window: int = WIN,
+):
+    """Viable band plan for a level, or the rulebook unchanged (gather
+    engine) when the level's widest conv overflows VMEM — skipping the
+    plan build entirely in that case.
+
+    The z-packed variant (:func:`build_zband_plan`) is NOT selected by
+    default: on real surface clouds ~6% of rulebook entries (40% of
+    rows) sit in groups whose dz=0 anchor voxel is missing — surface
+    slopes end z-columns constantly — so its residual-repair pass costs
+    back what the 3x one-hot reduction saves (measured on the 0.02 m
+    bench clouds: residual rows 12.9k of 32.8k)."""
+    k = rulebook.shape[1]
+    if band_viable(k, cin, cout, dtype, window):
+        return build_band_plan(rulebook, valid, window)
+    return rulebook

@@ -409,8 +409,17 @@ def subm_conv_apply(
         return subm_conv_zpack_apply(
             feats, weights, rulebook, valid, compute_dtype=dtype
         )
-    from .bandconv import BandPlan, band_subm_conv_apply
+    from .bandconv import (
+        BandPlan,
+        ZBandPlan,
+        band_subm_conv_apply,
+        zband_subm_conv_apply,
+    )
 
+    if isinstance(rulebook, ZBandPlan):
+        return zband_subm_conv_apply(
+            feats, weights, rulebook, valid, compute_dtype=dtype
+        )
     if isinstance(rulebook, BandPlan):
         return band_subm_conv_apply(
             feats, weights, rulebook, valid, compute_dtype=dtype
