@@ -320,6 +320,11 @@ def _bench_e2e():
         jnp.zeros(n_pad, jnp.int32), jnp.ones(n_pad, bool),
     )
 
+    # warm the device upsample jit too (one ~2 min compile at this
+    # bucketed query shape; steady-state clouds reuse it): run stage
+    # 1+2 once untimed, then time the real pass
+    upsample(predict_single(points, pred, pred), min_points=1_000_000)
+
     t0 = _time.perf_counter()
     refined = predict_single(points, pred, pred)
     t1 = _time.perf_counter()

@@ -31,6 +31,7 @@ def main():
     dd = None if dd == "none" else int(dd)
     engine = sys.argv[2] if len(sys.argv) > 2 else "band"
     dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
+    tokens = (sys.argv[4] if len(sys.argv) > 4 else "1") == "1"
 
     n = 131072
     rng = np.random.default_rng(0)
@@ -48,8 +49,9 @@ def main():
     valid = jnp.ones(n, bool)
 
     model = build_model(
-        "pointtransformerv3", pool_shrink=4, dedup_divisor=dd,
+        "pointtransformerv3", dedup_divisor=dd,
         stem_engine=engine, compute_dtype=dtype,
+        dedup_tokens=tokens, pool_shrink=2 if tokens else 4,
     )
     variables = jax.jit(
         lambda r, c, f, bi, v: model.init(r, c, f, bi, v, train=False)

@@ -50,6 +50,51 @@ class TestUpsample:
         assert len(out) == 300
 
 
+class TestUpsampleDevice:
+    """TPU engine (curve-window candidates) vs the exact host engine."""
+
+    def test_matches_host_statistically(self, rng):
+        from scipy.spatial import cKDTree
+
+        from treemorph_tpu.pipeline.upsample import upsample_device
+
+        pts, _ = synthetic_tree_cloud(points_per_m2=400, rng=rng)
+        pts = pts[:4000].astype(np.float32)
+        target = 16000
+        host = upsample(
+            pts, k_init=5, max_iterations=10, min_points=target,
+            rng=np.random.default_rng(1), engine="host",
+        )
+        dev = upsample_device(
+            pts, k_init=5, max_iterations=10, min_points=target,
+            rng=np.random.default_rng(1),
+        )
+        # same schedule -> same midpoint budget (device may drop a few
+        # queries whose candidate window held no usable neighbor)
+        assert len(dev) >= target
+        assert abs(len(dev) - len(host)) < 0.02 * len(host)
+        # originals preserved as a prefix (reference output layout)
+        np.testing.assert_allclose(dev[: len(pts)], pts, atol=1e-6)
+        # densified sets cover the same surface: new points of each
+        # engine lie close to the other engine's output
+        d_hd, _ = cKDTree(host).query(dev[len(pts):][::7], k=1)
+        d_dh, _ = cKDTree(dev).query(host[len(pts):][::7], k=1)
+        assert np.median(d_hd) < 0.05
+        assert np.median(d_dh) < 0.05
+        # midpoints hug the original surface like the host engine's
+        d_new, _ = cKDTree(pts).query(dev[len(pts):][::7], k=1)
+        d_ref, _ = cKDTree(pts).query(host[len(pts):][::7], k=1)
+        assert np.median(d_new) < max(2.5 * np.median(d_ref), 0.05)
+
+    def test_auto_routes_small_jobs_to_host(self, rng):
+        # < 100k points with engine='auto' must not touch the device
+        pts = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
+        out = upsample(
+            pts, k_init=5, min_points=2000, rng=rng, engine="auto"
+        )
+        assert len(out) >= 2000
+
+
 class TestRasterAssignments:
     def test_partition_when_stride_equals_size(self, rng):
         pts = rng.uniform(0, 3, size=(400, 3)).astype(np.float32)

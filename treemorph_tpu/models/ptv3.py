@@ -50,6 +50,7 @@ from ..ops.sparse import (
     build_rulebook,
     build_table,
     build_zplan,
+    rulebook_subset_columns,
     subm_conv_apply,
     subm_conv_zpack_apply,
 )
@@ -814,8 +815,11 @@ class Embedding(nn.Module):
     @nn.compact
     def __call__(
         self, ps: PointSet, train: bool, table=None, cond=(0, None),
-        dedup=None,
+        dedup=None, rulebook=None,
     ):
+        """``rulebook``: a prebuilt k=5 rulebook over the conv's voxel
+        set (the backbone builds one and shares its central 3^3 columns
+        with the level-0 xCPE) — skips the 124-offset lookup here."""
         dt = jnp.dtype(self.compute_dtype)
         w = self.param(
             "kernel",
@@ -832,9 +836,10 @@ class Embedding(nn.Module):
                     u_feat, w, plan, dedup.valid, compute_dtype=dt
                 )
             else:
-                rulebook = build_rulebook(
-                    dedup.coords, dedup.valid, 5, table=table
-                )
+                if rulebook is None:
+                    rulebook = build_rulebook(
+                        dedup.coords, dedup.valid, 5, table=table
+                    )
                 if self.engine == "band":
                     # banded one-hot Pallas conv (ops/bandconv.py) over
                     # the lex-sorted unique set; dispatch on the plan
@@ -854,9 +859,10 @@ class Embedding(nn.Module):
                 # caller guarantees lex order (token-dedup mode)
                 rulebook = build_zplan(coords4, ps.valid, 5, table=table)
             else:
-                rulebook = build_rulebook(
-                    coords4, ps.valid, 5, table=table
-                )
+                if rulebook is None:
+                    rulebook = build_rulebook(
+                        coords4, ps.valid, 5, table=table
+                    )
                 if self.engine == "band":
                     rulebook = choose_band_plan(
                         rulebook, ps.valid, ps.feat.shape[-1],
@@ -1018,6 +1024,15 @@ class PointTransformerV3(nn.Module):
             table0 = build_table(dd.coords, dd.valid)
         else:
             table0 = build_table(coords4_0, ps.valid)
+        # ONE k=5 rulebook serves both the embedding stem and — sliced
+        # to its central 3^3 columns — the level-0 xCPE rulebook (the
+        # smaller cube's offsets are a subset of the larger's), saving
+        # the 26-offset level-0 lookup pass entirely
+        rb5 = None
+        stem_valid = dd.valid if dd is not None else ps.valid
+        if self.stem_engine != "zpack":
+            stem_coords = dd.coords if dd is not None else coords4_0
+            rb5 = build_rulebook(stem_coords, stem_valid, 5, table=table0)
         ps = Embedding(
             self.enc_channels[0], self.pdnorm,
             engine=(
@@ -1027,7 +1042,7 @@ class PointTransformerV3(nn.Module):
             ),
             compute_dtype=self.compute_dtype,
             name="embedding",
-        )(ps, train, table=table0, cond=cond, dedup=dd)
+        )(ps, train, table=table0, cond=cond, dedup=dd, rulebook=rb5)
 
         total_enc = sum(self.enc_depths)
         enc_dp = [
@@ -1081,9 +1096,9 @@ class PointTransformerV3(nn.Module):
                         dd.coords, dd.valid, 3, table=table0
                     )
                 else:
-                    rulebook = build_rulebook(
-                        dd.coords, dd.valid, 3, table=table0
-                    )
+                    # slice the stem's k=5 rulebook instead of a fresh
+                    # 26-offset lookup pass
+                    rulebook = rb5[:, rulebook_subset_columns(5, 3)]
                     if self.stem_engine == "band":
                         rulebook = choose_band_plan(
                             rulebook, dd.valid,
@@ -1106,10 +1121,15 @@ class PointTransformerV3(nn.Module):
                         table=table0 if s == 0 else None,
                     )
                 else:
-                    rulebook = build_rulebook(
-                        coords4, ps.valid, 3,
-                        table=table0 if s == 0 else None,
-                    )
+                    if s == 0 and rb5 is not None:
+                        # level 0 shares the stem's voxel set: slice
+                        # its k=5 rulebook instead of re-looking-up
+                        rulebook = rb5[:, rulebook_subset_columns(5, 3)]
+                    else:
+                        rulebook = build_rulebook(
+                            coords4, ps.valid, 3,
+                            table=table0 if s == 0 else None,
+                        )
                     # the level's xCPEs (enc channels here, dec channels
                     # on the skip) statically route to the gather engine
                     # when their VMEM working set overflows — building

@@ -35,6 +35,7 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 PROBE = 8  # static probe window for hash-collision resolution
@@ -927,3 +928,20 @@ def subm_conv_zpack_apply(
     """
     dtype = jnp.dtype(compute_dtype or feats.dtype)
     return _zconv(dtype, feats, weights, plan.ext, plan.zshift, valid)
+
+
+def rulebook_subset_columns(k_from: int, k_to: int) -> np.ndarray:
+    """Column indices of the ``k_to``-kernel rulebook inside a
+    ``k_from``-kernel rulebook over the SAME voxel set (the smaller
+    cube's offsets are a subset of the larger's): slicing these columns
+    replaces an entire ``build_rulebook(k_to)`` — PTv3's level-0 k=3
+    xCPE rulebook comes from the k=5 stem rulebook for free."""
+    assert k_from % 2 == 1 and k_to % 2 == 1 and k_to <= k_from
+    rf, rt = (k_from - 1) // 2, (k_to - 1) // 2
+    cols = [
+        ((dx + rf) * k_from + (dy + rf)) * k_from + (dz + rf)
+        for dx in range(-rt, rt + 1)
+        for dy in range(-rt, rt + 1)
+        for dz in range(-rt, rt + 1)
+    ]
+    return np.asarray(cols, np.int32)

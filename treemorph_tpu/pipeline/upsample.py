@@ -15,16 +15,32 @@ points in random order, but its search tree is fixed within an iteration,
 so order never affects the distribution — the vectorized form is
 behavior-equivalent.)
 
-This stage deliberately runs on HOST, not the TPU: it is glue between the
-device-heavy stage 1 and the host-driven QSM stage, each pipeline cloud
-has a fresh shape (a device k-NN recompiles per cloud), and at upsampling
-densities (>=50k pts/m^2) grid-bucket k-NN cells overflow any static
-per-cell cap. Measured on a 505k -> 1M doubling: device grid k-NN 324 s
-(compile + overflow-degraded), parallel cKDTree ~seconds.
+Two engines:
+
+- **host** (exact k-NN, parallel cKDTree) — the parity engine; fast on
+  multi-core hosts, minutes-slow on single-core sandboxes.
+- **device** (:func:`upsample_device`) — the TPU engine used by the
+  pipeline for the standard ``use_only_original_points`` mode: the
+  corpus is kept sorted along a depth-16 z-order curve, each (fixed)
+  query point's candidates are a contiguous window of curve-sorted rows
+  around its insertion position (the same lex-locality invariant the
+  banded conv engine exploits), and the random neighbor is chosen among
+  the k nearest candidates. The k-NN is therefore approximate (true
+  neighbors across a curve jump can fall outside the window) — the
+  CHOICE distribution differs slightly from the exact engine, which is
+  immaterial for a random-midpoint densifier; the midpoint math, the
+  d > 1e-9 duplicate exclusion, the k * 2^i schedule and the output
+  layout are identical. Earlier grid-bucket k-NN attempts overflowed
+  any static per-cell cap at upsampling densities (>=50k pts/m^2);
+  windowed curve candidates have no per-cell cap at all. All
+  iterations compile as ONE jit on bucketed shapes.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import numpy as np
 from scipy.spatial import cKDTree
 
@@ -63,14 +79,31 @@ def upsample(
     min_points: int = 1_000_000,
     rng: np.random.Generator | None = None,
     cell_size: float = 0.2,  # kept for API compatibility; unused
+    engine: str = "auto",  # 'auto' | 'host' | 'device'
 ) -> np.ndarray:
     """Super-sample a cloud to at least ``min_points`` points.
 
     Returns the concatenation [below-threshold originals, above-threshold
     originals, new midpoints], matching the reference output layout
-    (``Upsampling.py:154-159``).
+    (``Upsampling.py:154-159``). ``engine='auto'`` routes large
+    only-original-points jobs to the TPU engine (module docstring) and
+    everything else to the exact host k-NN.
     """
     rng = rng or np.random.default_rng(0)
+    if engine == "device" or (
+        engine == "auto"
+        and use_only_original_points
+        and cloud_data is not None
+        and len(cloud_data) >= 100_000
+    ):
+        return upsample_device(
+            cloud_data,
+            k_init=k_init,
+            max_iterations=max_iterations,
+            min_height=min_height,
+            min_points=min_points,
+            rng=rng,
+        )
     if cloud_data is None or len(cloud_data) == 0:
         return cloud_data
     pts = np.asarray(cloud_data, np.float32)[:, :3]
@@ -113,4 +146,166 @@ def upsample(
         current = np.concatenate([current, mids])
 
     parts = [below, above] + new_points
+    return np.vstack(parts).astype(np.float32)
+
+
+def _searchsorted_pair(kp: "jax.Array", q_hi, q_lo):
+    """Lower-bound binary search over packed (hi, lo) u32 key pairs.
+
+    ``kp`` is (N, 2) uint32 sorted lexicographically; one 8-byte row
+    gather per round fetches both words. Unrolled static trip count
+    (see ops.sparse.searchsorted_unrolled)."""
+    import jax.numpy as jnp
+
+    n = kp.shape[0]
+    bits = max(n - 1, 1).bit_length()
+    count = jnp.zeros(q_hi.shape, jnp.int32)
+    for shift in range(bits - 1, -1, -1):
+        cand = count + (1 << shift)
+        row = kp[jnp.clip(cand - 1, 0, n - 1)]
+        k_hi, k_lo = row[..., 0], row[..., 1]
+        less = (k_hi < q_hi) | ((k_hi == q_hi) & (k_lo < q_lo))
+        ok = (cand <= n) & less
+        count = jnp.where(ok, cand, count)
+    return count
+
+
+@partial(jax.jit, static_argnames=("ks", "window", "depth"))
+def _device_upsample_rounds(
+    queries,  # (Q, 3) float32, padded
+    q_valid,  # (Q,) bool
+    key,  # jax PRNG key
+    ks: tuple,  # static per-iteration neighbor counts (k_i schedule)
+    window: int = 64,  # candidate rows each side of the insert position
+    depth: int = 16,
+):
+    """All midpoint rounds in one jit. Returns (mids, mid_valid) of shape
+    (len(ks), Q, 3) / (len(ks), Q): iteration-major, matching the host
+    engine's output layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.serialization import encode
+
+    q = queries.shape[0]
+    cap = q * (len(ks) + 1)
+    corpus = jnp.zeros((cap, 3), jnp.float32).at[:q].set(queries)
+    c_valid = jnp.zeros(cap, bool).at[:q].set(q_valid)
+
+    # quantization for curve codes: fixed 1 mm grid against the query
+    # min (extent < 2^depth mm = 65 m at depth 16)
+    big = jnp.float32(3.4e38)
+    mins = jnp.min(jnp.where(q_valid[:, None], queries, big), axis=0)
+    mins = jnp.where(jnp.isfinite(mins), mins, 0.0)
+    scale = jnp.float32(1000.0)
+    qg = jnp.clip(
+        ((queries - mins) * scale), 0, (1 << depth) - 1
+    ).astype(jnp.int32)
+    _, qhi, qlo = encode(qg, None, depth=depth, order="z")
+
+    mids_out = []
+    ok_out = []
+    for it, k in enumerate(ks):
+        n_live = q * (it + 1)
+        grid = jnp.clip(
+            (corpus - mins) * scale, 0, (1 << depth) - 1
+        ).astype(jnp.int32)
+        _, hi, lo = encode(grid, None, depth=depth, order="z")
+        sent = jnp.uint32(0xFFFFFFFF)
+        hi = jnp.where(c_valid, hi, sent)
+        lo = jnp.where(c_valid, lo, sent)
+        pay = jnp.arange(cap, dtype=jnp.int32)
+        s_hi, s_lo, s_idx = jax.lax.sort((hi, lo, pay), num_keys=2)
+        kp = jnp.stack([s_hi, s_lo], axis=1)  # (cap, 2) sorted keys
+
+        pos = _searchsorted_pair(kp, qhi, qlo)  # (Q,)
+        base = jnp.clip(pos - window, 0, cap - 2 * window)
+        cand_rows = base[:, None] + jnp.arange(
+            2 * window, dtype=jnp.int32
+        )  # (Q, 2W) rows into the SORTED order
+        cand_idx = s_idx[cand_rows]  # original corpus rows
+        cand = corpus[cand_idx]  # (Q, 2W, 3)
+        cand_ok = c_valid[cand_idx]
+
+        d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
+        # reference usability rule: finite, non-duplicate (d > 1e-9)
+        usable = cand_ok & (d2 > jnp.float32(1e-18))
+        d2 = jnp.where(usable, d2, jnp.float32(jnp.inf))
+        # k nearest among candidates, then a uniform random usable one
+        neg, top_i = jax.lax.top_k(-d2, k)
+        top_usable = jnp.isfinite(-neg)
+        key, sub = jax.random.split(key)
+        scores = jnp.where(
+            top_usable, jax.random.uniform(sub, top_i.shape), -1.0
+        )
+        choice = jnp.argmax(scores, axis=1)
+        rows = jnp.arange(q)
+        has = (scores[rows, choice] > 0) & q_valid
+        nbr = cand[rows, top_i[rows, choice]]
+        mids = (queries + nbr) * 0.5
+        mids = jnp.where(has[:, None], mids, 0.0)
+        mids_out.append(mids)
+        ok_out.append(has)
+        corpus = jax.lax.dynamic_update_slice(
+            corpus, mids, (n_live, 0)
+        )
+        c_valid = jax.lax.dynamic_update_slice(c_valid, has, (n_live,))
+    return jnp.stack(mids_out), jnp.stack(ok_out)
+
+
+def upsample_device(
+    cloud_data: np.ndarray,
+    k_init: int = 10,
+    max_iterations: int = 10,
+    min_height: float = 0.0,
+    min_points: int = 1_000_000,
+    rng: np.random.Generator | None = None,
+    window: int = 64,
+    bucket: int = 8192,
+) -> np.ndarray:
+    """TPU engine for the ``use_only_original_points`` mode (see module
+    docstring). Query shapes are bucketed so repeated pipeline clouds
+    share compilations."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = rng or np.random.default_rng(0)
+    if cloud_data is None or len(cloud_data) == 0:
+        return cloud_data
+    pts = np.asarray(cloud_data, np.float32)[:, :3]
+    min_z = pts[:, 2].min()
+    above = pts[pts[:, 2] >= min_z + min_height]
+    below = pts[pts[:, 2] < min_z + min_height]
+    n0 = len(above)
+    if n0 < k_init:
+        return pts
+
+    needed, count = 0, n0
+    while count < min_points:
+        count += n0
+        needed += 1
+    if needed == 0:
+        return pts
+    iters = min(max_iterations, needed)
+    ks = tuple(
+        min(k_init * (2**i), n0 - 1) for i in range(iters)
+    )
+    if any(k < 1 for k in ks):
+        return pts
+
+    qp = -(-n0 // bucket) * bucket
+    queries = np.zeros((qp, 3), np.float32)
+    queries[:n0] = above
+    q_valid = np.arange(qp) < n0
+
+    seed = int(rng.integers(0, 2**31 - 1))
+    mids, ok = _device_upsample_rounds(
+        jnp.asarray(queries), jnp.asarray(q_valid),
+        jax.random.key(seed), ks, window=window,
+    )
+    mids = np.asarray(mids)
+    ok = np.asarray(ok)
+    parts = [below, above]
+    for i in range(len(ks)):
+        parts.append(mids[i][ok[i]].astype(np.float32))
     return np.vstack(parts).astype(np.float32)
