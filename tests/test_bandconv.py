@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from treemorph_tpu.ops.bandconv import (
+    ALIGN,
     TILE,
     BandPlan,
     band_subm_conv_apply,
@@ -63,7 +64,7 @@ class TestBandPlan:
         for t in range(n_tiles):
             rows = rbn[t * TILE : (t + 1) * TILE]  # (TILE, K)
             for gi in range(9):
-                base = starts[t, gi] * 8
+                base = starts[t, gi] * ALIGN
                 for dz in range(3):
                     col = rows[:, gi * 3 + dz]
                     for pos in np.nonzero(col < m)[0]:

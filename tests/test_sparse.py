@@ -434,3 +434,59 @@ class TestBuildDedup:
         assert int(dd.overflow) == m - 16
         v2u = np.asarray(dd.v2u)
         assert (v2u[v2u == 16].size) == m - 16
+
+
+class TestRunTable:
+    """Octant-run table (RunTable/build_rulebook_runs) vs the bucket
+    VoxelTable oracle — identical rulebooks on lex-sorted sets."""
+
+    @pytest.mark.parametrize("k", [3, 5])
+    def test_matches_voxel_table_rulebook(self, rng, k):
+        import sys as _sys
+
+        _sys.path.insert(0, "tests")
+        from test_zpack import lex_sorted_voxels
+
+        from treemorph_tpu.ops.sparse import (
+            build_rulebook,
+            build_run_table,
+        )
+
+        coords, valid = lex_sorted_voxels(rng, m=700, cap=768)
+        cj, vj = jnp.asarray(coords), jnp.asarray(valid)
+        want = np.asarray(build_rulebook(cj, vj, k, verify_coords=True))
+        rt = build_run_table(cj, vj)
+        got = np.asarray(build_rulebook(cj, vj, k, table=rt))
+        np.testing.assert_array_equal(got, want)
+        # exact mode too
+        got_v = np.asarray(
+            build_rulebook(cj, vj, k, verify_coords=True, table=rt)
+        )
+        np.testing.assert_array_equal(got_v, want)
+
+    def test_tall_columns_and_octant_boundaries(self, rng):
+        """Vertical trunk-like columns spanning many octants, plus rows
+        near z=0 (negative-z queries must come back missing)."""
+        from treemorph_tpu.ops.sparse import (
+            build_rulebook,
+            build_run_table,
+        )
+
+        rows = [(0, 1, 1, z) for z in range(0, 40)]
+        rows += [(0, 1, 2, z) for z in range(0, 40, 3)]
+        rows += [(0, 2, 1, z) for z in range(7, 9)]  # octant straddle
+        rows += [(1, 1, 1, z) for z in range(0, 16)]
+        rows = sorted(set(rows))
+        n = len(rows)
+        cap = -(-n // 128) * 128
+        coords = np.zeros((cap, 4), np.int32)
+        coords[:n] = rows
+        valid = np.arange(cap) < n
+        cj, vj = jnp.asarray(coords), jnp.asarray(valid)
+        for k in (3, 5):
+            want = np.asarray(
+                build_rulebook(cj, vj, k, verify_coords=True)
+            )
+            rt = build_run_table(cj, vj)
+            got = np.asarray(build_rulebook(cj, vj, k, table=rt))
+            np.testing.assert_array_equal(got, want)

@@ -70,7 +70,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128  # output rows per kernel step
-WIN = 384  # feature-window rows DMA'd per (dx, dy) group
+WIN = 448  # feature-window rows DMA'd per (dx, dy) group
+ALIGN = 64  # window-anchor alignment in rows: blocked window views
+# (block_rows <= 8 rows per 128-lane block) start at anchor/blk block
+# rows, and Mosaic must prove 8-sublane divisibility of that start for
+# every blk in {1, 2, 4, 8} -> anchors live on 64-row boundaries
 
 
 class BandPlan(NamedTuple):
@@ -81,7 +85,8 @@ class BandPlan(NamedTuple):
 
     rulebook: jax.Array  # (M, K) int32, M = missing (gather-engine layout)
     rb_tiles: jax.Array  # (n_tiles, K, TILE) int32 tiled rulebook
-    # (G, n_tiles) int32 window anchor per group in units of 8 rows —
+    # (G, n_tiles) int32 window anchor per group in units of ALIGN=64
+    # rows —
     # group-major because the scalar-prefetch SMEM layout pads the MINOR
     # dim to 128 lanes (an (n_tiles, G) layout costs 512 B per tile row
     # and blows the ~1 MB SMEM budget beyond ~2000 tiles / 256k voxels)
@@ -92,6 +97,15 @@ class BandPlan(NamedTuple):
     res_rb: jax.Array  # (R, K) int32 rulebook restricted to those entries
     res_valid: jax.Array  # (R,) bool — live residual rows
     wmark: jax.Array  # (WIN,) zeros — static window-size marker
+
+
+def block_rows(c: int) -> int:
+    """Window rows the blocked-select kernel packs per one-hot column
+    (:func:`_band_kernel`): narrow channels waste MXU lanes, so the
+    kernel selects ``blk`` consecutive window rows with ONE one-hot
+    column and unpacks the sub-row with a vector mask. Capped at 8 so
+    plan anchors (stored in 8-row units) are always block-aligned."""
+    return min(8, 128 // c) if 0 < c <= 64 and 128 % c == 0 else 1
 
 
 def build_band_plan(
@@ -108,8 +122,9 @@ def build_band_plan(
     m, k = rulebook.shape
     ksize = round(k ** (1 / 3))
     g = ksize * ksize
-    win = -(-window // 8) * 8
-    mp = max(-(-m // TILE), -(-win // TILE)) * TILE
+    win = -(-window // ALIGN) * ALIGN
+    mp = max(-(-m // TILE), -(-win // TILE), -(-win // ALIGN)) * TILE
+    mp = -(-mp // ALIGN) * ALIGN
     n_tiles = mp // TILE
     pad = mp - m
 
@@ -124,12 +139,12 @@ def build_band_plan(
         jnp.where(found, grouped, big), axis=(2, 3)
     )  # (n_tiles, G)
     has = jnp.any(found, axis=(2, 3))
-    # anchors in units of 8 rows: the Pallas index map multiplies by 8,
-    # which is how Mosaic proves sublane (8-row) alignment of the DMA
+    # anchors in ALIGN-row units (see ALIGN above); the index map scales
+    # back up, so every blocked view start is provably sublane-aligned
     base8 = (
-        jnp.clip(jnp.where(has, min_idx, 0), 0, mp - win) // 8
+        jnp.clip(jnp.where(has, min_idx, 0), 0, mp - win) // ALIGN
     ).astype(jnp.int32)
-    local = grouped - (base8 * 8)[:, :, None, None]
+    local = grouped - (base8 * ALIGN)[:, :, None, None]
     viol = found & ((local < 0) | (local >= win))
     # compact the output ROWS owning any out-of-window entry (a per-ENTRY
     # nonzero over the (Mp, K) mask cost ~50 ms at 1M rows); each such
@@ -165,33 +180,54 @@ def build_band_plan(
     )
 
 
-def _band_kernel(m, nsplit, ksize, win, starts_ref, rb_ref, *rest):
-    """One output tile: K one-hot gathers from G grouped windows."""
+def _band_kernel(m, nsplit, ksize, win, blk, starts_ref, rb_ref, *rest):
+    """One output tile: K blocked one-hot gathers from G group windows.
+
+    Windows arrive pre-reshaped to ``(win/blk, blk*cin)`` (``blk`` =
+    :func:`block_rows` window rows per 128-lane block): stage 1 selects
+    the block row holding the neighbor with one (TILE, win/blk) one-hot
+    matmul — ``blk``x fewer VPU compares and full MXU lane utilization
+    for narrow channels — and stage 2 isolates the neighbor's ``cin``
+    lanes with a vector mask, feeding a weight matmul against the
+    ``blk``-times vertically tiled filter (the masked-off lane blocks
+    are zero, so the tiled matmul reproduces ``sel @ w`` exactly)."""
     g = ksize * ksize
     fwins = rest[: nsplit * g]
     w_ref, o_ref = rest[nsplit * g], rest[nsplit * g + 1]
     t = pl.program_id(0)
 
     cout = o_ref.shape[-1]
+    nblk = win // blk
+    width = w_ref.shape[1]
+    cin = width // blk
     acc = jnp.zeros((TILE, cout), jnp.float32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, win), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, nblk), 1)
+    if blk > 1:
+        lane_blk = (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 1) // cin
+        )
     for gi in range(g):
-        base = starts_ref[gi, t] * 8
+        base = starts_ref[gi, t] * ALIGN
         for dz in range(ksize):
             kk = gi * ksize + dz
             idx = rb_ref[0, kk, :]  # (T,) global neighbor rows
             # fold the found-mask into the index (-1 never matches the
             # iota) — Mosaic cannot reshape 1-D bools to (T, 1)
             local = jnp.where(idx < m, idx - base, -1)
-            oh = (iota == local[:, None]).astype(jnp.bfloat16)
-            cin = fwins[nsplit * gi].shape[-1]
-            sel = jnp.zeros((TILE, cin), jnp.float32)
+            bi = local // blk  # -1 stays -1 (floor division)
+            oh = (iota == bi[:, None]).astype(jnp.bfloat16)
+            sel = jnp.zeros((TILE, width), jnp.float32)
             for s in range(nsplit):
                 sel += jnp.dot(
                     oh, fwins[nsplit * gi + s][...],
                     preferred_element_type=jnp.float32,
                 )
-            w = w_ref[kk]  # (Cin, Cout)
+            if blk > 1:
+                # zero every lane block except the neighbor's sub-row
+                # (missing rows already selected an all-zero sel)
+                sub = local - bi * blk
+                sel = jnp.where(lane_blk == sub[:, None], sel, 0.0)
+            w = w_ref[kk]  # (blk*Cin, Cout) — vertically tiled filter
             acc += jnp.dot(
                 sel.astype(w.dtype), w, preferred_element_type=jnp.float32
             )
@@ -214,24 +250,35 @@ def _band_conv_padded(
     cout = weights.shape[-1]
     ksize = round(k ** (1 / 3))
     g = ksize * ksize
+    # blocked-select packing (see _band_kernel): blk window rows per
+    # 128-lane block; plan anchors are aligned to blk rows, so the
+    # reshaped window views start on block boundaries
+    blk = block_rows(cin)
+    fparts = tuple(p.reshape(mp // blk, blk * cin) for p in fparts)
+    if blk > 1:
+        weights = jnp.concatenate([weights] * blk, axis=1)
 
     in_specs = [
         pl.BlockSpec((1, k, TILE), lambda t, s: (t, 0, 0))
     ]
     operands = [rb_tiles]
     # window views ordered per (group, split) — the kernel indexes
-    # fwins[nsplit * gi + s]. pl.Element start = anchor * 8 elements.
+    # fwins[nsplit * gi + s]. pl.Element start = anchor * 8 elements
+    # (exactly divisible by blk: plan anchors are blk-aligned).
     for gi in range(g):
         for fp in fparts:
             in_specs.append(
                 pl.BlockSpec(
-                    (pl.Element(win), pl.Element(cin)),
-                    partial(lambda gi, t, s: (s[gi, t] * 8, 0), gi),
+                    (pl.Element(win // blk), pl.Element(blk * cin)),
+                    partial(
+                        lambda gi, t, s: (s[gi, t] * (ALIGN // blk), 0),
+                        gi,
+                    ),
                 )
             )
             operands.append(fp)
     in_specs.append(
-        pl.BlockSpec((k, cin, cout), lambda t, s: (0, 0, 0))
+        pl.BlockSpec((k, blk * cin, cout), lambda t, s: (0, 0, 0))
     )
     operands.append(weights)
 
@@ -242,7 +289,7 @@ def _band_conv_padded(
         out_specs=pl.BlockSpec((TILE, cout), lambda t, s: (t, 0)),
     )
     return pl.pallas_call(
-        partial(_band_kernel, m, nsplit, ksize, win),
+        partial(_band_kernel, m, nsplit, ksize, win, blk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, cout), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -276,21 +323,27 @@ def _band_impl(feats, weights, plan: BandPlan, valid, nsplit: int):
         plan.rb_tiles, plan.starts, fparts, weights, m, nsplit,
         plan.wmark.shape[0],
     )[:m]
-    # residual repair: a mini gather-engine conv over just the rows whose
-    # windows missed entries — K tiny gathers+matmuls, exact f32, then
-    # one scatter-add at sorted (mostly unique) indices.
-    feats_pad = jnp.concatenate([masked, jnp.zeros((1, cin), masked.dtype)])
-    contrib = jnp.zeros(
-        (plan.res_rb.shape[0], weights.shape[-1]), jnp.float32
+    out = out.at[plan.res_rows].add(
+        _residual_repair(masked, weights, plan, m), indices_are_sorted=True
     )
-    for kk in range(weights.shape[0]):
-        gathered = feats_pad[jnp.minimum(plan.res_rb[:, kk], m)]
-        contrib = contrib + jnp.dot(
-            gathered, weights[kk], preferred_element_type=jnp.float32
-        )
-    contrib = contrib * plan.res_valid[:, None]
-    out = out.at[plan.res_rows].add(contrib, indices_are_sorted=True)
     return out * valid[:, None]
+
+
+def _residual_repair(masked, weights, plan, m):
+    """Mini gather-engine conv over just the rows whose windows missed
+    entries: ONE (R, K) row gather + ONE (R, K*Cin) x (K*Cin, Cout)
+    matmul, exact f32. (The earlier K separate gathers+matmuls cost
+    ~2 ms per conv at K=27 in pure dispatch/launch overhead.)"""
+    cin = masked.shape[1]
+    k, _, cout = weights.shape
+    feats_pad = jnp.concatenate([masked, jnp.zeros((1, cin), masked.dtype)])
+    gathered = feats_pad[jnp.minimum(plan.res_rb, m)]  # (R, K, Cin)
+    contrib = jnp.dot(
+        gathered.reshape(-1, k * cin),
+        weights.reshape(k * cin, cout),
+        preferred_element_type=jnp.float32,
+    )
+    return contrib * plan.res_valid[:, None]
 
 
 def band_vmem_bytes(
@@ -298,18 +351,29 @@ def band_vmem_bytes(
     zpack: bool = False,
 ) -> int:
     """Static estimate of the band kernel's VMEM working set: the full
-    weight block plus the double-buffered per-group feature windows.
-    Mosaic pads the lane (channel) dimension to 128, so the window term
-    uses ``max(C, 128)``; the backward re-enters the kernel with
-    channel-transposed weights (windows sized by Cout), so the channel
-    term is ``max(Cin, Cout)`` to cover both directions. ``zpack``
-    windows carry the k z-bands packed per row (ksize x the lanes)."""
+    (blk-tiled) weight block plus the double-buffered per-group feature
+    windows. Mosaic pads the lane dimension to 128; the blocked-select
+    packing (:func:`_band_kernel`) reshapes windows to
+    ``(win/blk, blk*c)`` so narrow channels no longer pay that padding.
+    The backward re-enters the kernel with channel-transposed weights
+    (windows sized by Cout), so both directions are evaluated and the
+    max returned. ``zpack`` windows carry the k z-bands packed per row
+    (ksize x the lanes; never blocked)."""
     ksize = round(k ** (1 / 3))
     g = ksize * ksize
     win8 = -(-win // 8) * 8
-    c = max(cin, cout)
-    lanes = max(ksize * c if zpack else c, 128)
-    return k * cin * cout * 4 + g * nsplit * 2 * win8 * lanes * 2
+
+    def direction(c_win, c_other):
+        if zpack:
+            lanes, rows = max(ksize * c_win, 128), win8
+            blk = 1
+        else:
+            blk = block_rows(c_win)
+            lanes, rows = max(blk * c_win, 128), win8 // blk
+        weights = k * blk * c_win * c_other * 4
+        return weights + g * nsplit * 2 * rows * lanes * 2
+
+    return max(direction(cin, cout), direction(cout, cin))
 
 
 def band_viable(
@@ -656,16 +720,10 @@ def _zband_impl(feats, weights, plan: ZBandPlan, valid, nsplit: int):
         plan.anchors, plan.starts, tuple(zq_parts), w2, m, nsplit,
         plan.wmark.shape[0],
     )[:m]
-    # residual repair: identical mini gather-engine pass as _band_impl
-    feats_pad = jnp.concatenate([masked, jnp.zeros((1, cin), masked.dtype)])
-    contrib = jnp.zeros((plan.res_rb.shape[0], cout), jnp.float32)
-    for kk in range(k3):
-        gathered = feats_pad[jnp.minimum(plan.res_rb[:, kk], m)]
-        contrib = contrib + jnp.dot(
-            gathered, weights[kk], preferred_element_type=jnp.float32
-        )
-    contrib = contrib * plan.res_valid[:, None]
-    out = out.at[plan.res_rows].add(contrib, indices_are_sorted=True)
+    # residual repair: identical fused mini gather-engine pass
+    out = out.at[plan.res_rows].add(
+        _residual_repair(masked, weights, plan, m), indices_are_sorted=True
+    )
     return out * valid[:, None]
 
 

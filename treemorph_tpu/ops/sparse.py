@@ -318,6 +318,203 @@ def lookup(
     return jnp.where(non_negative, found, -1).reshape(shape)
 
 
+RUN_SLOTS = 5  # octant slots per RunTable bucket (3 lanes each, W=16)
+
+
+class RunTable(NamedTuple):
+    """Octant-run hash table over a LEX-SORTED, duplicate-free voxel set.
+
+    The bucket-row :class:`VoxelTable` answers one voxel per 128 B row
+    gather, so a k^3 rulebook costs (k^3 - 1) * M latency-bound row
+    fetches — the dominant cost of ``build_rulebook`` on both backbones.
+    This table exploits the same lex-sort invariant as the band conv
+    engine: voxels of one z-octant-column ``(b, x, y, z >> 3)`` are
+    CONSECUTIVE rows with ascending z, so one stored (first_row, zmask)
+    pair answers ALL EIGHT z's of the octant — the index of z-bit j is
+    ``first_row + popcount(zmask & ((1 << j) - 1))``. A k^3 rulebook
+    then needs only 2 row gathers per (dx, dy) offset column per voxel
+    (the dz span crosses at most one octant boundary): k=5 does 50
+    64-byte fetches per voxel instead of 124 128-byte ones.
+
+    Row layout (W = 16 int32 lanes, 64 B): RUN_SLOTS slots of
+    ``[hash2 tag, first_row, zmask]``; ``first_row == -1`` marks an
+    empty slot. Bucket count is ~4x the voxel count (an upper bound on
+    the octant count), so slot overflow odds are Poisson(<=0.25) beyond
+    5 — ~1e-8 per bucket, strictly better than the VoxelTable's drop
+    policy. Matching is the same ~(32 + log2 NB)-bit probabilistic
+    discriminator as :func:`lookup`; ``verify_coords`` gathers each
+    matching slot's first-row coordinates and confirms the octant key,
+    making the result exact (the in-octant bit/popcount arithmetic is
+    structural, not hashed)."""
+
+    coords: jax.Array  # (M, 4) int32 (b, x, y, z), lex-sorted, unique
+    valid: jax.Array  # (M,) bool (True rows form a prefix)
+    rows: jax.Array  # (NB, 16) int32
+    mask: int  # NB - 1 (static)
+
+
+def build_run_table(coords: jax.Array, valid: jax.Array) -> RunTable:
+    """Build the octant-run table (see :class:`RunTable`).
+
+    Requires ``coords`` lex-sorted by (b, x, y, z), duplicate-free over
+    valid rows, with invalid rows at the end — the invariant every
+    dedup'd / pooled voxel level already satisfies
+    (:func:`dedup_sort_perm`)."""
+    m = coords.shape[0]
+    nb = 1 << max(4 * m - 1, 127).bit_length()
+    mask = nb - 1
+
+    okey = jnp.concatenate(
+        [coords[:, :3], coords[:, 3:4] >> 3], axis=1
+    )  # (M, 4) octant key per voxel
+    neq = jnp.any(okey[1:] != okey[:-1], axis=1)
+    is_first = valid & jnp.concatenate([jnp.array([True]), neq])
+    oct_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # rank per row
+    n_oct = jnp.sum(is_first)
+
+    # per-octant zmask: z's are distinct within an octant (unique coords)
+    # so OR == SUM of the per-row bits
+    bits = jnp.where(valid, 1 << (coords[:, 3] & 7), 0).astype(jnp.int32)
+    dump = jnp.where(valid, oct_id, m)
+    zmask = jnp.zeros(m + 1, jnp.int32).at[dump].add(bits)[:m]
+    firsts = jnp.zeros(m + 1, jnp.int32).at[
+        jnp.where(is_first, oct_id, m)
+    ].set(jnp.arange(m, dtype=jnp.int32))[:m]
+
+    # bucket insertion over octants (rank-indexed arrays of size M)
+    oct_valid = jnp.arange(m) < n_oct
+    okeys = okey[firsts]  # (M, 4); garbage rows masked by oct_valid
+    h1 = _spatial_hash(okeys)
+    h2 = _spatial_hash2(okeys).astype(jnp.int32)
+    bucket = (h1 & jnp.uint32(mask)).astype(jnp.int32)
+
+    sort_key = jnp.where(oct_valid, bucket.astype(jnp.uint32),
+                         jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(sort_key)
+    sb = bucket[perm]
+    sv = oct_valid[perm]
+    arange = jnp.arange(m, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, arange, 0)
+    )
+    slot = arange - seg_start
+    ok = sv & (slot < RUN_SLOTS)
+
+    width = 16
+    dump_pos = nb * width
+    base = sb * width + slot * 3
+    tag_pos = jnp.where(ok, base, dump_pos)
+    f_pos = jnp.where(ok, base + 1, dump_pos)
+    z_pos = jnp.where(ok, base + 2, dump_pos)
+
+    lane_iota = jnp.arange(nb * width, dtype=jnp.int32) % width
+    # empty slots are marked by first_row == -1 (lanes 1, 4, 7, 10, 13)
+    flat = jnp.where((lane_iota % 3 == 1) & (lane_iota < 15), -1, 0)
+    flat = jnp.concatenate([flat, jnp.zeros(1, jnp.int32)])  # dump slot
+    flat = flat.at[tag_pos].set(h2[perm])
+    flat = flat.at[f_pos].set(firsts[perm])
+    flat = flat.at[z_pos].set(zmask[perm])
+    rows = flat[: nb * width].reshape(nb, width)
+    return RunTable(coords=coords, valid=valid, rows=rows, mask=mask)
+
+
+def _popcount8(v: jax.Array) -> jax.Array:
+    """Population count of int32 values known to be < 256 (zmask bits)."""
+    v = v - ((v >> 1) & 0x55)
+    v = (v & 0x33) + ((v >> 2) & 0x33)
+    return (v + (v >> 4)) & 0x0F
+
+
+def _run_rows(table: RunTable, okeys: jax.Array):
+    """Gather bucket rows + query hash2 for octant keys (..., 4)."""
+    h1 = _spatial_hash(okeys)
+    qh2 = _spatial_hash2(okeys).astype(jnp.int32)
+    bucket = (h1 & jnp.uint32(table.mask)).astype(jnp.int32)
+    return table.rows[bucket], qh2  # (..., 16), (...)
+
+
+def _run_extract(
+    table: RunTable, rows: jax.Array, qh2: jax.Array, zq: jax.Array,
+    okeys: jax.Array | None = None,
+) -> jax.Array:
+    """Voxel index of z == ``zq`` inside the octant whose bucket row and
+    query-hash are given, or -1. Sum formulation: at most one slot
+    matches (hash2 double collisions are the same ~1e-7/forward risk
+    class as :func:`lookup`'s probabilistic mode; with ``okeys`` given,
+    every matching slot's stored octant is verified exactly)."""
+    j = zq & 7
+    low = (1 << j) - 1
+    found = jnp.zeros(qh2.shape, jnp.int32)
+    for s in range(RUN_SLOTS):
+        tag = rows[..., 3 * s]
+        f = rows[..., 3 * s + 1]
+        zm = rows[..., 3 * s + 2]
+        match = (f >= 0) & (tag == qh2)
+        if okeys is not None:
+            stored = table.coords[jnp.clip(f, 0, table.coords.shape[0] - 1)]
+            stored_ok = jnp.concatenate(
+                [stored[..., :3], stored[..., 3:4] >> 3], axis=-1
+            )
+            match = match & jnp.all(stored_ok == okeys, axis=-1)
+        present = ((zm >> j) & 1) == 1
+        idx = f + _popcount8(zm & low)
+        found = found + jnp.where(match & present, idx + 1, 0)
+    return found - 1
+
+
+def build_rulebook_runs(
+    coords: jax.Array,
+    valid: jax.Array,
+    kernel_size: int = 3,
+    verify_coords: bool = False,
+    table: RunTable | None = None,
+) -> jax.Array:
+    """(M, K) rulebook via the octant-run table — output identical to
+    :func:`build_rulebook` on lex-sorted duplicate-free voxel sets, at
+    ~2.5x fewer row gathers for k=5 (2 per (dx, dy) column instead of
+    k lookups; the dz span of one column crosses at most one octant
+    boundary, so the low and high octant rows cover every dz)."""
+    m = coords.shape[0]
+    assert kernel_size % 2 == 1, "submanifold rulebooks need odd kernels"
+    if table is None:
+        table = build_run_table(coords, valid)
+    r = (kernel_size - 1) // 2
+    k = kernel_size**3
+    arange_m = jnp.arange(m, dtype=jnp.int32)
+
+    b = coords[:, 0]
+    z = coords[:, 3]
+    oct_lo = (z - r) >> 3
+    oct_hi = (z + r) >> 3
+    columns = []
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            xy = coords[:, 1:3] + jnp.array([[dx, dy]], jnp.int32)
+            ok_lo = jnp.stack([b, xy[:, 0], xy[:, 1], oct_lo], axis=1)
+            ok_hi = jnp.stack([b, xy[:, 0], xy[:, 1], oct_hi], axis=1)
+            rows_lo, qh2_lo = _run_rows(table, ok_lo)
+            rows_hi, qh2_hi = _run_rows(table, ok_hi)
+            xy_ok = valid & jnp.all(xy >= 0, axis=1)
+            for dz in range(-r, r + 1):
+                if dx == 0 and dy == 0 and dz == 0:
+                    columns.append(jnp.where(valid, arange_m, m))
+                    continue
+                zq = z + dz
+                use_lo = (zq >> 3) == oct_lo
+                rows = jnp.where(use_lo[:, None], rows_lo, rows_hi)
+                qh2 = jnp.where(use_lo, qh2_lo, qh2_hi)
+                okq = None
+                if verify_coords:
+                    okq = jnp.where(
+                        use_lo[:, None], ok_lo, ok_hi
+                    )
+                idx = _run_extract(table, rows, qh2, zq, okeys=okq)
+                good = xy_ok & (zq >= 0) & (idx >= 0)
+                columns.append(jnp.where(good, idx, m).astype(jnp.int32))
+    return jnp.stack(columns, axis=1)  # (M, K)
+
+
 def kernel_offsets(kernel_size: int = 3) -> jnp.ndarray:
     """(K, 3) integer offsets of a cubic kernel, centered for odd sizes."""
     r = range(kernel_size)
@@ -358,6 +555,10 @@ def build_rulebook(
     # substitution below (and the VJP's offs[k] == -offs[K-1-k] mirror)
     # would silently produce a wrong rulebook for even kernels
     assert kernel_size % 2 == 1, "submanifold rulebooks need odd kernels"
+    if isinstance(table, RunTable):
+        return build_rulebook_runs(
+            coords, valid, kernel_size, verify_coords, table
+        )
     if table is None:
         table = build_table(coords, valid)
     offs = kernel_offsets(kernel_size)  # (K, 3)
