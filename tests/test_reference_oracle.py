@@ -356,8 +356,14 @@ class TestQSMOracle:
         p90_ref, p90_our = (
             np.quantile(d_ref, 0.9), np.quantile(d_our, 0.9)
         )
-        # a few mm on a ~10 m synthetic tree with ~4 mm surface noise
-        assert abs(med_our - med_ref) < 0.005, (med_our, med_ref)
-        assert abs(p90_our - p90_ref) < 0.010, (p90_our, p90_ref)
+        # measured floor on this seeded workload: 0.157 mm median /
+        # 0.295 mm P90 delta (both fitters deterministic at these
+        # seeds; identical across repeated runs) — asserted at ~6x
+        # margin, inside the 1e-3 m parity budget. The residual is
+        # genuine seed-order divergence: the two fitters draw
+        # different RANSAC subsets, so cylinder subdivision differs
+        # (96 vs 100 cylinders) while the fitted surfaces agree.
+        assert abs(med_our - med_ref) < 1e-3, (med_our, med_ref)
+        assert abs(p90_our - p90_ref) < 2e-3, (p90_our, p90_ref)
         # both skeletons explain the cloud to within sensor noise scale
         assert med_our < 0.02 and med_ref < 0.02
