@@ -226,6 +226,15 @@ def main(n_devices: int = 1, treelearn_engine: str = "band",
     # (/root/reference/Modules/Pipeline/Pipeline.py:98,173-174).
     e2e = _bench_e2e()
 
+    # one TreeLearn optimizer step (fwd+bwd+AdamW, band+bf16) at the
+    # reference's epoch batch shape, 30 trees x 16.4k pts — the ONLY
+    # training numbers the reference publishes are epoch times at this
+    # shape (computational_expenses.py:10); scripts/bench_training.py
+    # carries the per-family version of this measurement.
+    trn = _bench_train_step(
+        engine=treelearn_engine, conv_dtype=treelearn_conv_dtype,
+    )
+
     print(
         json.dumps(
             {
@@ -245,6 +254,7 @@ def main(n_devices: int = 1, treelearn_engine: str = "band",
                 "qsm_fit_seconds_48k_points": round(qsm_seconds, 2),
                 "qsm_vs_reference_fit": round(4.1 / qsm_seconds, 2),
                 **e2e,
+                **(trn or {}),
                 **(pn2 or {}),
             }
         )
@@ -261,6 +271,84 @@ def _time_trial(forward, iters, *args):
     last = jax.tree_util.tree_leaves(outs[0])[0]
     np.asarray(last).ravel()[:1]
     return time.perf_counter() - t0
+
+
+def _bench_train_step(engine: str = "band", conv_dtype: str = "bfloat16",
+                      iters: int = 5):
+    """One TreeLearn train step at the reference's epoch batch shape.
+
+    30 trees x 16,384 points, fwd+bwd+AdamW — the batch shape behind the
+    reference's 12.96 s/epoch number
+    (/root/reference/Plotting/computational_expenses.py:8-10). Returns
+    step seconds and training points/sec; per-family versions live in
+    scripts/bench_training.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from treemorph_tpu.data import make_padded_batch
+    from treemorph_tpu.data.treeset import TreeSample
+    from treemorph_tpu.fixtures import synthetic_qsm, synthetic_tree_cloud
+    from treemorph_tpu.models import TreeLearn
+    from treemorph_tpu.train import create_train_state, make_train_step
+    from treemorph_tpu.train.families import init_treelearn, treelearn_family
+    from treemorph_tpu.train.harness import make_optimizer
+
+    trees, n_points = 30, 16384
+    rng = np.random.default_rng(0)
+    samples = []
+    for _ in range(trees):
+        qsm = synthetic_qsm(rng=rng)
+        pts, _ = synthetic_tree_cloud(qsm=qsm, points_per_m2=4000, rng=rng)
+        if len(pts) >= n_points:
+            pts = pts[:n_points]
+        else:
+            reps = -(-n_points // len(pts))
+            pts = np.tile(pts, (reps, 1))[:n_points] + rng.normal(
+                0, 0.005, (n_points, 3)
+            ).astype(np.float32)
+        offs = rng.normal(0, 0.02, (n_points, 3)).astype(np.float32)
+        norm = np.linalg.norm(offs, axis=1)
+        samples.append(TreeSample(
+            points=pts,
+            feats=rng.normal(size=(n_points, 4)).astype(np.float32),
+            offsets=offs,
+            semantic_label=(norm > 0.05).astype(np.int32),
+            offset_mask=norm <= 0.05,
+            path="bench",
+        ))
+    batch = jax.tree.map(
+        jnp.asarray, make_padded_batch(samples, bucket=n_points)
+    )
+
+    model = TreeLearn(
+        channels=32, num_blocks=3, dim_feat=4, voxel_size=0.02,
+        batch_size=trees, voxel_capacity_divisor=2,
+        engine=engine, conv_dtype=conv_dtype,
+    )
+    variables = init_treelearn(model, batch, jax.random.key(0))
+    tx = make_optimizer()
+    state = create_train_state(variables, tx)
+    train_step = make_train_step(*treelearn_family(model), tx)
+
+    lr = jnp.float32(1e-3)
+    state, metrics = train_step(state, batch, lr, jax.random.key(1))
+    float(metrics["loss"])  # compile + warmup
+
+    # async-pipelined (steps chain through `state`; see _time_trial)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = train_step(state, batch, lr, jax.random.key(2 + i))
+    float(metrics["loss"])
+    step_seconds = (time.perf_counter() - t0) / iters
+    return {
+        "treelearn_train_step_seconds": round(step_seconds, 4),
+        "treelearn_train_points_per_sec": round(
+            trees * n_points / step_seconds, 1
+        ),
+        "treelearn_train_batch": f"{trees}x{n_points}",
+        "reference_treelearn_epoch_seconds": 12.96,
+    }
 
 
 def _bench_e2e():
