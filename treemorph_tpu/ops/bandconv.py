@@ -69,6 +69,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.flops import log_pallas_flops
+
 TILE = 128  # output rows per kernel step
 WIN = 448  # feature-window rows DMA'd per (dx, dy) group
 ALIGN = 64  # window-anchor alignment in rows: blocked window views
@@ -254,6 +256,14 @@ def _band_conv_padded(
     # 128-lane block; plan anchors are aligned to blk rows, so the
     # reshaped window views start on block boundaries
     blk = block_rows(cin)
+    # trace-time analytic-FLOP log for MFU reporting (utils/flops.py):
+    # per offset, the blocked one-hot select is a (TILE, win/blk) x
+    # (win/blk, blk*cin) matmul per split and the filter apply a
+    # (TILE, blk*cin) x (blk*cin, cout) matmul
+    log_pallas_flops(
+        "band_conv",
+        2.0 * mp * k * (nsplit * win * cin + blk * cin * cout),
+    )
     fparts = tuple(p.reshape(mp // blk, blk * cin) for p in fparts)
     if blk > 1:
         weights = jnp.concatenate([weights] * blk, axis=1)
@@ -648,6 +658,12 @@ def _zband_conv_padded(
     e = zq_parts[0].shape[-1]
     cout = w2.shape[-1]
     ksize = round((g) ** 0.5)
+    # trace-time analytic-FLOP log (utils/flops.py): per (dx, dy) group,
+    # one (TILE, win) x (win, ksize*cin) one-hot select per split and a
+    # (TILE, ksize*cin) x (ksize*cin, cout) packed-filter matmul
+    log_pallas_flops(
+        "zband_conv", 2.0 * mp * g * (nsplit * win * e + e * cout)
+    )
 
     in_specs = [pl.BlockSpec((1, g, TILE), lambda t, s: (t, 0, 0))]
     operands = [anchors]

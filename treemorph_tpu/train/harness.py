@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import logging
 import time
+from functools import partial
 from typing import Any, Callable, Optional
 
 import flax.struct
@@ -169,7 +170,10 @@ def make_train_step(
 
     if mesh is None:
 
-        @jax.jit
+        # donate the carried train state: params/opt-state buffers are
+        # reused in place (all call sites reassign `state = step(...)`),
+        # saving an HBM copy of every parameter + Adam moment per step
+        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, lr, rng):
             grads, new_bs, loss, loss_dict = _step_body(
                 state, batch, lr, rng
@@ -201,7 +205,7 @@ def make_train_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_accum_steps(
