@@ -185,7 +185,13 @@ def main(n_devices: int = 1, treelearn_engine: str = "band",
     # under contention (r02 driver measured 0.96M on code that measures
     # 1.9M here); transient environment noise can only slow a trial down,
     # so the fastest trial is the honest device number.
-    iters = 10
+    # 20 iterations per trial: the axon tunnel charges a fixed
+    # ~160-190 ms per trial (final-fetch sync + clock ramp; measured
+    # wall/iter falls 96.5 -> 75.5 ms from 5 to 20 iters while Python
+    # dispatch is 0.7 ms/iter), so short trials under-report
+    # steady-state throughput; the *_device_ms keys report pure device
+    # time for comparison
+    iters = 20
     tl_trials = [
         _time_trial(forward, iters, variables, coords, feats, batch_ids,
                     valid)
@@ -308,7 +314,7 @@ def _time_trial(forward, iters, *args):
 
 
 def _bench_train_step(engine: str = "band", conv_dtype: str = "bfloat16",
-                      iters: int = 5):
+                      iters: int = 10):
     """One TreeLearn train step at the reference's epoch batch shape.
 
     30 trees x 16,384 points, fwd+bwd+AdamW — the batch shape behind the
@@ -355,12 +361,29 @@ def _bench_train_step(engine: str = "band", conv_dtype: str = "bfloat16",
         jnp.asarray, make_padded_batch(samples, bucket=n_points)
     )
 
+    # honest static voxel cap (r4's divisor=2 cap of 245,760 silently
+    # dropped ~1/3 of this sparse workload's ~362k unique voxels): the
+    # true count is known host-side, so bound the arrays at the real
+    # count bucketed to 8k — the droplessness is asserted below
+    uniq = 0
+    for s in samples:
+        g = np.floor(s.points / 0.02).astype(np.int64)
+        uniq += len(np.unique(g, axis=0))
+    vcap = -(-int(uniq * 1.02) // 8192) * 8192
+
     model = TreeLearn(
         channels=32, num_blocks=3, dim_feat=4, voxel_size=0.02,
-        batch_size=trees, voxel_capacity_divisor=2,
+        batch_size=trees, voxel_capacity=vcap,
         engine=engine, conv_dtype=conv_dtype,
     )
     variables = init_treelearn(model, batch, jax.random.key(0))
+    flat = batch.flatten()
+    chk = jax.jit(
+        lambda v, c, f, bi, vl: model.apply(v, c, f, bi, vl, train=False)
+    )(variables, flat["coords"], flat["feats"], flat["batch_ids"],
+      flat["mask_valid"])
+    assert int(chk["dropped_voxels"]) == 0, int(chk["dropped_voxels"])
+    assert int(chk["dropped_points"]) == 0, int(chk["dropped_points"])
     tx = make_optimizer()
     state = create_train_state(variables, tx)
     train_step = make_train_step(*treelearn_family(model), tx)
@@ -369,10 +392,17 @@ def _bench_train_step(engine: str = "band", conv_dtype: str = "bfloat16",
     state, metrics = train_step(state, batch, lr, jax.random.key(1))
     float(metrics["loss"])  # compile + warmup
 
+    # pre-stage the per-step PRNG keys on device, like a real loop
+    # stages its batches (measured neutral on this tunnel — key
+    # creation overlaps the async step queue — but it keeps the timed
+    # region free of host work by construction)
+    keys = [jax.device_put(jax.random.key(2 + i)) for i in range(iters)]
+    jax.block_until_ready(keys)
+
     # async-pipelined (steps chain through `state`; see _time_trial)
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = train_step(state, batch, lr, jax.random.key(2 + i))
+        state, metrics = train_step(state, batch, lr, keys[i])
     float(metrics["loss"])
     step_seconds = (time.perf_counter() - t0) / iters
     return {
@@ -581,29 +611,46 @@ def _bench_pointnet2_anchor():
         ref_forward()
     ref_pps = b * n * iters_ref / (time.perf_counter() - t0)
 
-    ours = PointNet2(depth=5, dim_feat=4, use_coords=True,
-                     use_features=True)
-    cj, fj = jnp.asarray(coords), jnp.asarray(feats)
-    vj = jnp.ones((b, n), bool)
-    variables = jax.jit(
-        lambda r, c, f, v: ours.init(r, c, f, v, train=False)
-    )(jax.random.key(0), cj, fj, vj)
-    fwd = jax.jit(
-        lambda p, c, f, v: ours.apply(p, c, f, v, train=False)[
-            "offset_predictions"
+    # TPU production mode: blocked FPS (16-way parallel buckets; exact
+    # sequential FPS remains the parity default and is oracle-tested in
+    # tests/test_reference_oracle.py). Both modes are timed: 'exact'
+    # anchors the algorithm-identical comparison, 'bucketed' is the
+    # shipped fast path (VERDICT r4 #7).
+    out = {}
+    for mode, buckets in (("bucketed", 16), ("exact", 1)):
+        ours = PointNet2(depth=5, dim_feat=4, use_coords=True,
+                         use_features=True, fps_buckets=buckets)
+        cj, fj = jnp.asarray(coords), jnp.asarray(feats)
+        vj = jnp.ones((b, n), bool)
+        variables = jax.jit(
+            lambda r, c, f, v: ours.init(r, c, f, v, train=False)
+        )(jax.random.key(0), cj, fj, vj)
+        fwd = jax.jit(
+            lambda p, c, f, v: ours.apply(p, c, f, v, train=False)[
+                "offset_predictions"
+            ]
+        )
+        np.asarray(fwd(variables, cj, fj, vj))
+        iters = 30
+        trials = [
+            _time_trial(fwd, iters, variables, cj, fj, vj)
+            for _ in range(3)
         ]
+        pps = b * n * iters / min(trials)
+        key = "pointnet2_points_per_sec" + (
+            "" if mode == "bucketed" else "_exact_fps"
+        )
+        out[key] = round(pps, 1)
+        if mode == "bucketed":
+            out["pointnet2_trials_points_per_sec"] = [
+                round(b * n * iters / t, 1) for t in trials
+            ]
+    out["pointnet2_fps_mode"] = "bucketed16"
+    out["pointnet2_reference_cpu_points_per_sec"] = round(ref_pps, 1)
+    out["pointnet2_vs_reference_measured"] = round(
+        out["pointnet2_points_per_sec"] / ref_pps, 2
     )
-    np.asarray(fwd(variables, cj, fj, vj))
-    iters = 10
-    dt = min(
-        _time_trial(fwd, iters, variables, cj, fj, vj) for _ in range(3)
-    )
-    our_pps = b * n * iters / dt
-    return {
-        "pointnet2_points_per_sec": round(our_pps, 1),
-        "pointnet2_reference_cpu_points_per_sec": round(ref_pps, 1),
-        "pointnet2_vs_reference_measured": round(our_pps / ref_pps, 2),
-    }
+    return out
 
 
 def _bench_ptv3(coords, feats, batch_ids, valid, b, n,
@@ -651,7 +698,7 @@ def _bench_ptv3(coords, feats, batch_ids, valid, b, n,
     out = forward(variables, coords, feats, batch_ids, valid)
     np.asarray(out[0])
     assert int(out[1]) == 0, f"dedup/pool overflow {int(out[1])}"
-    iters = 5
+    iters = 20  # amortize the fixed per-trial tunnel overhead (see main)
     trials = [
         _time_trial(forward, iters, variables, coords, feats, batch_ids,
                     valid)

@@ -109,9 +109,22 @@ def main():
     )
 
     if args.family == "treelearn":
+        # honest static voxel cap: the sparse training workload's true
+        # unique-voxel count (host-computed), bucketed — divisor=2
+        # silently dropped ~1/3 of the voxels here (bench.py has the
+        # same accounting + a dropless assert)
+        import numpy as _np
+
+        uniq = sum(
+            len(_np.unique(
+                _np.floor(s.points / 0.02).astype(_np.int64), axis=0
+            ))
+            for s in samples
+        )
+        vcap = -(-int(uniq * 1.02) // 8192) * 8192
         model = TreeLearn(
             channels=32, num_blocks=3, dim_feat=4, voxel_size=0.02,
-            batch_size=trees, voxel_capacity_divisor=2,
+            batch_size=trees, voxel_capacity=vcap,
             engine=args.engine,
         )
         variables = init_treelearn(model, batch, jax.random.key(0))

@@ -44,6 +44,18 @@ def rng():
 SLOW_TESTS = {
     "test_scripts.py",  # CLI e2e (preprocess/train/pipeline subprocesses)
     "test_noise_path.py",  # trains the noise family end-to-end
+    # torch-oracle + checkpoint-import suites (reference torch forwards
+    # on one core) and Pallas interpret-mode engine suites dominate the
+    # >50 min full-suite wall (VERDICT r4 #9); the fast lane keeps the
+    # gather-engine, model-forward and pipeline coverage
+    "test_reference_oracle.py",
+    "test_import_ptv3.py",
+    "test_import_torch.py",
+    "test_bandconv.py",
+    "test_zpack.py",
+    "test_pencil.py",
+    "test_bricks.py",
+    "test_tiles.py",
 }
 SLOW_NODES = (
     "test_dryrun_multichip",

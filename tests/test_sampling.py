@@ -65,6 +65,82 @@ class TestFPS:
         assert d.min() > dr.min()
 
 
+class TestBucketedFPS:
+    """Blocked approximate FPS (VERDICT r4 #7): parallel per-bucket
+    exact FPS over strided subsamples."""
+
+    def test_buckets_one_is_exact(self, rng):
+        from treemorph_tpu.ops.sampling import (
+            bucketed_farthest_point_sample,
+        )
+
+        xyz = rng.normal(size=(2, 128, 3)).astype(np.float32)
+        valid = np.ones((2, 128), bool)
+        a = np.asarray(farthest_point_sample(
+            jnp.asarray(xyz), jnp.asarray(valid), 16
+        ))
+        b = np.asarray(bucketed_farthest_point_sample(
+            jnp.asarray(xyz), jnp.asarray(valid), 16, buckets=1
+        ))
+        np.testing.assert_array_equal(a, b)
+
+    def test_never_selects_invalid_and_in_range(self, rng):
+        from treemorph_tpu.ops.sampling import (
+            bucketed_farthest_point_sample,
+        )
+
+        # n not divisible by buckets (padding path) + starved validity
+        xyz = rng.normal(size=(2, 100, 3)).astype(np.float32)
+        valid = np.zeros((2, 100), bool)
+        valid[0, :30] = True
+        valid[1, 5:9] = True  # fewer valid than npoint
+        idx = np.asarray(bucketed_farthest_point_sample(
+            jnp.asarray(xyz), jnp.asarray(valid), 16, buckets=16
+        ))
+        assert idx.min() >= 0 and idx.max() < 100
+        assert valid[np.arange(2)[:, None], idx].all()
+
+    def test_spread_quality_near_exact(self, rng):
+        from treemorph_tpu.ops.sampling import (
+            bucketed_farthest_point_sample,
+        )
+
+        xyz = rng.uniform(0, 10, size=(1, 2048, 3)).astype(np.float32)
+        valid = np.ones((1, 2048), bool)
+        ex = np.asarray(farthest_point_sample(
+            jnp.asarray(xyz), jnp.asarray(valid), 100
+        ))[0]
+        bu = np.asarray(bucketed_farthest_point_sample(
+            jnp.asarray(xyz), jnp.asarray(valid), 100, buckets=16
+        ))[0]
+        assert len(np.unique(bu)) == 100
+
+        def mean_nn(sel):
+            d = np.linalg.norm(sel[:, None] - sel[None], axis=-1)
+            np.fill_diagonal(d, np.inf)
+            return d.min(axis=1).mean()
+
+        # the approximation keeps at least half the exact FPS spacing
+        # (measured ~0.56x on this workload)
+        assert mean_nn(xyz[0, bu]) > 0.45 * mean_nn(xyz[0, ex])
+
+    def test_model_runs_with_buckets(self, rng):
+        import jax
+
+        from treemorph_tpu.models import PointNet2
+
+        model = PointNet2(depth=5, dim_feat=4, fps_buckets=16)
+        coords = jnp.asarray(rng.normal(size=(2, 256, 3)), jnp.float32)
+        feats = jnp.asarray(rng.normal(size=(2, 256, 4)), jnp.float32)
+        valid = jnp.ones((2, 256), bool)
+        variables = model.init(
+            jax.random.key(0), coords, feats, valid, train=False
+        )
+        out = model.apply(variables, coords, feats, valid, train=False)
+        assert out["offset_predictions"].shape == (2, 256, 3)
+        assert np.isfinite(np.asarray(out["offset_predictions"])).all()
+
+
 class TestBallQuery:
     def test_lowest_index_semantics(self, rng):
         xyz = rng.uniform(0, 1, size=(1, 50, 3)).astype(np.float32)

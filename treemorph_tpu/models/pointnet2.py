@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sampling import (
+    bucketed_farthest_point_sample,
     farthest_point_sample,
     index_points,
     query_ball_point,
@@ -125,10 +126,13 @@ class SetAbstraction(nn.Module):
     radius: float
     nsample: int
     mlp: Sequence[int]
+    fps_buckets: int = 1
 
     @nn.compact
     def __call__(self, xyz, feats, valid, train: bool, rng=None):
-        fps_idx = farthest_point_sample(xyz, valid, self.npoint, rng)
+        fps_idx = bucketed_farthest_point_sample(
+            xyz, valid, self.npoint, rng, buckets=self.fps_buckets
+        )
         new_xyz = index_points(xyz, fps_idx)
         new_valid = jnp.take_along_axis(valid, fps_idx, axis=1)
         idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz, valid)
@@ -148,10 +152,13 @@ class SetAbstractionMsg(nn.Module):
     radius_list: Sequence[float]
     nsample_list: Sequence[int]
     mlp_list: Sequence[Sequence[int]]
+    fps_buckets: int = 1
 
     @nn.compact
     def __call__(self, xyz, feats, valid, train: bool, rng=None):
-        fps_idx = farthest_point_sample(xyz, valid, self.npoint, rng)
+        fps_idx = bucketed_farthest_point_sample(
+            xyz, valid, self.npoint, rng, buckets=self.fps_buckets
+        )
         new_xyz = index_points(xyz, fps_idx)
         new_valid = jnp.take_along_axis(valid, fps_idx, axis=1)
         outs = []
@@ -193,6 +200,11 @@ class PointNet2(nn.Module):
     dim_feat: int = 4
     use_coords: bool = True
     use_features: bool = True
+    #: FPS bucket count: 1 = the reference's exact sequential recurrence
+    #: (parity default); >1 = blocked parallel FPS
+    #: (ops.sampling.bucketed_farthest_point_sample) — npoint sequential
+    #: argmax steps become ceil(npoint/buckets), the TPU production mode
+    fps_buckets: int = 1
 
     @nn.compact
     def __call__(
@@ -217,9 +229,15 @@ class PointNet2(nn.Module):
         for level, cfg in enumerate(SA_CONFIGS[self.depth]):
             npoint, radius, nsample, mlp = cfg
             if isinstance(radius, tuple):
-                sa = SetAbstractionMsg(npoint, radius, nsample, mlp)
+                sa = SetAbstractionMsg(
+                    npoint, radius, nsample, mlp,
+                    fps_buckets=self.fps_buckets,
+                )
             else:
-                sa = SetAbstraction(npoint, radius, nsample, mlp)
+                sa = SetAbstraction(
+                    npoint, radius, nsample, mlp,
+                    fps_buckets=self.fps_buckets,
+                )
             new_xyz, new_feats, new_valid = sa(
                 xyzs[-1], featss[-1], valids[-1], train, rngs[level]
             )

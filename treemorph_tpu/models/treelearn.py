@@ -519,10 +519,15 @@ class TreeLearnBackbone(nn.Module):
     conv_dtype: str = "float32"  # bfloat16: ~5x faster convs, f32 accum
     verify_coords: bool = False  # exact (collision-proof) hash lookups
     brick_impl: str = "conv"  # brick engine conv schedule ('conv'|'xslab')
+    #: absolute level-0 voxel capacity override: callers that know the
+    #: batch's true unique-voxel count (host-side dedup, bucketed like
+    #: n_points) can bound the static arrays tighter than any P/divisor
+    #: rule — sparse low-duplication clouds sit between divisor 1 and 2
+    voxel_capacity: int | None = None
 
     @nn.compact
     def __call__(self, coords, feats, batch_ids, valid, train: bool):
-        capacity = max(
+        capacity = self.voxel_capacity or max(
             coords.shape[0] // self.voxel_capacity_divisor, 256
         )
         vox = voxelize_treelearn_features(
@@ -641,6 +646,7 @@ class TreeLearn(nn.Module):
     conv_dtype: str = "float32"
     verify_coords: bool = False
     brick_impl: str = "conv"
+    voxel_capacity: int | None = None  # absolute L0 cap (see backbone)
 
     @nn.compact
     def __call__(
@@ -671,6 +677,7 @@ class TreeLearn(nn.Module):
             conv_dtype=self.conv_dtype,
             verify_coords=self.verify_coords,
             brick_impl=self.brick_impl,
+            voxel_capacity=self.voxel_capacity,
             name="backbone",
         )
         point_feats, vox, dropped_points, dropped_voxels = backbone(

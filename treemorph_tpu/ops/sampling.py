@@ -99,6 +99,54 @@ def farthest_point_sample(
     return centroids
 
 
+@partial(jax.jit, static_argnames=("npoint", "buckets"))
+def bucketed_farthest_point_sample(
+    xyz: jax.Array,
+    valid: jax.Array,
+    npoint: int,
+    rng: jax.Array | None = None,
+    buckets: int = 16,
+) -> jax.Array:
+    """Blocked approximate FPS: ``buckets``-way parallel exact FPS over
+    strided subsamples (VERDICT r4 #7; cf. the two-level samplers in
+    PAPERS.md).
+
+    The exact recurrence (:func:`farthest_point_sample`) is
+    latency-bound on TPU: ``npoint`` sequential (B, N) argmax steps.
+    This variant assigns point ``i`` to bucket ``i % buckets`` — each
+    bucket is a uniform 1/buckets subsample of the cloud in any input
+    order — and runs the exact FPS *inside* every bucket in parallel
+    (one vmapped loop of ``ceil(npoint/buckets)`` steps). The union of
+    per-bucket farthest-first prefixes approximates the global FPS
+    spread; selections that land on padded/invalid rows (possible only
+    in valid-starved buckets) are repaired to the first valid point.
+    Exact mode (``buckets=1``) remains the parity default
+    (reference pointnet2_utils.py:66-89).
+    """
+    b, n, _ = xyz.shape
+    g = max(1, min(buckets, npoint, n))
+    if g == 1:
+        return farthest_point_sample(xyz, valid, npoint, rng)
+    npad = -(-n // g) * g
+    if npad != n:
+        xyz = jnp.pad(xyz, ((0, 0), (0, npad - n), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, npad - n)))
+    m = npad // g
+    xb = xyz.reshape(b, m, g, 3).transpose(0, 2, 1, 3).reshape(b * g, m, 3)
+    vb = valid.reshape(b, m, g).transpose(0, 2, 1).reshape(b * g, m)
+    q = -(-npoint // g)  # per-bucket quota
+    sub = farthest_point_sample(xb, vb, q, rng)  # (b*g, q)
+    sub = sub.reshape(b, g, q)
+    glob = sub * g + jnp.arange(g, dtype=jnp.int32)[None, :, None]
+    # FPS-order-major interleave: truncating to npoint drops the LAST
+    # (least-far) selection of some buckets, never a whole bucket
+    glob = glob.transpose(0, 2, 1).reshape(b, g * q)[:, :npoint]
+    ok = jnp.take_along_axis(valid, glob, axis=1)
+    first_valid = jnp.argmax(valid, axis=1).astype(jnp.int32)
+    glob = jnp.where(ok, glob, first_valid[:, None])
+    return glob.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("nsample",))
 def query_ball_point(
     radius: float,
