@@ -2,7 +2,9 @@
 
 Behavioral parity with the reference loader/saver
 (``/root/reference/Modules/Utils.py:190-296``): ``.npy``, ``.txt`` (space or
-comma separated), ``.las``/``.laz`` via laspy, always standardized to float32.
+comma separated), ``.las``/``.laz`` via laspy when present — with a
+pure-numpy uncompressed-LAS codec (:mod:`treemorph_tpu.utils.las`) standing
+in for ``.las`` when it is not — always standardized to float32.
 IO is a host concern — arrays returned here are fed to the device through the
 padded batching layer in :mod:`treemorph_tpu.data`.
 
@@ -34,8 +36,10 @@ try:
     import laspy
 
     HAS_LASPY = True
-except ImportError:  # pragma: no cover - laspy is in the image
+except ImportError:
     HAS_LASPY = False
+
+from treemorph_tpu.utils import las as _native_las
 
 
 def load_cloud(path: str, all_columns: bool = False) -> np.ndarray | None:
@@ -67,11 +71,20 @@ def load_cloud(path: str, all_columns: bool = False) -> np.ndarray | None:
             if data.ndim == 1:
                 data = data.reshape(1, -1)
         elif ext in (".las", ".laz"):
-            if not HAS_LASPY:
+            if HAS_LASPY:
+                with laspy.open(path) as f:
+                    las = f.read()
+                    data = np.stack([las.x, las.y, las.z], axis=1)
+            elif ext == ".las":
+                # native uncompressed-LAS codec (utils/las.py) — .laz
+                # needs the LASzip codec, so without laspy it stays
+                # unreadable and falls through to the tolerant None
+                try:
+                    data = _native_las.read_las(path)["xyz"]
+                except (ValueError, NotImplementedError):
+                    return None
+            else:
                 return None
-            with laspy.open(path) as f:
-                las = f.read()
-                data = np.stack([las.x, las.y, las.z], axis=1)
         else:
             return None
     except (OSError, ValueError):
@@ -103,19 +116,22 @@ def save_cloud(data: np.ndarray, path: str, save_type: str = "npy") -> str | Non
         np.save(path, data)
     elif save_type == "txt":
         np.savetxt(path, data, fmt="%.6f")
-    elif save_type == "laz":
-        if not HAS_LASPY:
-            path = os.path.splitext(path)[0] + ".txt"
-            np.savetxt(path, data, fmt="%.6f")
-            return path
-        header = laspy.LasHeader(point_format=3, version="1.4")
-        header.scales = np.array([0.001, 0.001, 0.001])
-        header.offsets = np.min(data[:, :3], axis=0)
-        las = laspy.LasData(header)
-        las.x = data[:, 0]
-        las.y = data[:, 1]
-        las.z = data[:, 2]
-        las.write(path)
+    elif save_type in ("las", "laz"):
+        if HAS_LASPY:
+            header = laspy.LasHeader(point_format=3, version="1.4")
+            header.scales = np.array([0.001, 0.001, 0.001])
+            header.offsets = np.min(data[:, :3], axis=0)
+            las = laspy.LasData(header)
+            las.x = data[:, 0]
+            las.y = data[:, 1]
+            las.z = data[:, 2]
+            las.write(path)
+        else:
+            # native writer emits uncompressed LAS (same 1.4/format-3
+            # layout the laspy branch produces); a requested .laz becomes
+            # .las since LASzip compression needs laspy/lazrs
+            path = os.path.splitext(path)[0] + ".las"
+            _native_las.write_las(path, data[:, :3])
     else:
         path = os.path.splitext(path)[0] + ".npy"
         np.save(path, data)
