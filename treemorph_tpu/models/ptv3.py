@@ -75,27 +75,38 @@ class PointSet(NamedTuple):
     code_lo: jax.Array  # (O, P) uint32
 
 
+def _batched_order_sort(b, hi, lo):
+    """One batched 3-key sort + inverse for all curve orders at once.
+
+    ``b``/``hi``/``lo`` are ``(O, P)``; a single variadic XLA sort along
+    the last axis replaces O separate lexsorts (and one batched scatter
+    replaces O inverse scatters) — same permutations, fewer kernel
+    dispatches and better lane utilization on the sort.
+    """
+    perm = jnp.lexsort((lo, hi, b))
+    n_orders, p = perm.shape
+    inv = (
+        jnp.zeros_like(perm)
+        .at[jnp.arange(n_orders)[:, None], perm]
+        .set(jnp.broadcast_to(jnp.arange(p, dtype=perm.dtype), perm.shape))
+    )
+    return perm.astype(jnp.int32), inv.astype(jnp.int32)
+
+
 def _serialize(
     grid_coord, batch, valid, order_names: Sequence[str], depth: int
 ):
-    orders, inverses, his, los = [], [], [], []
+    his, los = [], []
     sort_batch = jnp.where(valid, batch, INVALID_BATCH)
     for name in order_names:
-        b, hi, lo = encode(grid_coord, sort_batch, depth=depth, order=name)
-        perm = jnp.lexsort((lo, hi, b))
-        inv = jnp.zeros_like(perm).at[perm].set(
-            jnp.arange(perm.shape[0], dtype=perm.dtype)
-        )
-        orders.append(perm)
-        inverses.append(inv)
+        _, hi, lo = encode(grid_coord, sort_batch, depth=depth, order=name)
         his.append(hi)
         los.append(lo)
-    return (
-        jnp.stack(orders).astype(jnp.int32),
-        jnp.stack(inverses).astype(jnp.int32),
-        jnp.stack(his),
-        jnp.stack(los),
-    )
+    hi = jnp.stack(his)
+    lo = jnp.stack(los)
+    b = jnp.broadcast_to(sort_batch.astype(jnp.int32), hi.shape)
+    orders, inverses = _batched_order_sort(b, hi, lo)
+    return orders, inverses, hi, lo
 
 
 def quantize_grid(coord, valid, grid_size: float):
@@ -730,16 +741,10 @@ class SerializedPooling(nn.Module):
         clo = (h_lo >> 3) | (h_hi << 29)
         chi = h_hi >> 3
         sort_batch = jnp.where(coarse_valid, batch, INVALID_BATCH)
-        orders_list, inverses_list = [], []
-        for o in range(len(self.order_names)):
-            perm_o = jnp.lexsort((clo[o], chi[o], sort_batch))
-            inv_o = jnp.zeros_like(perm_o).at[perm_o].set(
-                jnp.arange(cap, dtype=perm_o.dtype)
-            )
-            orders_list.append(perm_o)
-            inverses_list.append(inv_o)
-        orders = jnp.stack(orders_list).astype(jnp.int32)
-        inverses = jnp.stack(inverses_list).astype(jnp.int32)
+        orders, inverses = _batched_order_sort(
+            jnp.broadcast_to(sort_batch.astype(jnp.int32), chi.shape),
+            chi, clo,
+        )
         if shuffle_rng is not None:
             perm = jax.random.permutation(shuffle_rng, len(self.order_names))
             orders, inverses, chi, clo = (
