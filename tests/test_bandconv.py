@@ -242,6 +242,84 @@ class TestBandConv:
             np.asarray(bw), np.asarray(gw), rtol=2e-3, atol=2e-3
         )
 
+    def test_gradients_blocked_mode_with_residuals(self, rng):
+        """Fused backward kernel in BLOCKED select mode (cin=cout=32 ->
+        blk=4) with a deliberately tiny window so the residual d_w /
+        d_feats repair path carries real out-of-window entries."""
+        coords, valid = lex_sorted_voxels(rng, m=600, cap=640)
+        cj, vj = jnp.asarray(coords), jnp.asarray(valid)
+        cin = cout = 32
+        feats = jnp.asarray(
+            rng.normal(size=(len(coords), cin)).astype(np.float32)
+        )
+        w = jnp.asarray(
+            rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+        )
+        rb = build_rulebook(cj, vj, 3, verify_coords=True)
+        plan = build_band_plan(rb, vj, window=128)
+        assert bool(plan.ok)
+        # the premise: this plan must actually carry residual entries
+        assert int(np.asarray(plan.res_valid).sum()) > 0
+        tgt = jnp.asarray(
+            rng.normal(size=(len(coords), cout)).astype(np.float32)
+        )
+
+        def loss_gather(f, w):
+            return jnp.sum((subm_conv_apply(f, w, rb, vj) - tgt) ** 2)
+
+        def loss_band(f, w):
+            return jnp.sum(
+                (band_subm_conv_apply(f, w, plan, vj) - tgt) ** 2
+            )
+
+        gf, gw = jax.grad(loss_gather, argnums=(0, 1))(feats, w)
+        bf_, bw = jax.grad(loss_band, argnums=(0, 1))(feats, w)
+        scale_f = np.abs(np.asarray(gf)).max()
+        scale_w = np.abs(np.asarray(gw)).max()
+        np.testing.assert_allclose(
+            np.asarray(bf_), np.asarray(gf),
+            rtol=2e-3, atol=2e-3 * scale_f,
+        )
+        np.testing.assert_allclose(
+            np.asarray(bw), np.asarray(gw),
+            rtol=2e-3, atol=2e-3 * scale_w,
+        )
+
+    def test_gradients_rectangular_channels(self, rng):
+        """cin != cout exercises the d_w lane-block unpack and the
+        flipped-kernel transpose together (blk keyed on cout)."""
+        coords, valid = lex_sorted_voxels(rng, m=300, cap=320)
+        cj, vj = jnp.asarray(coords), jnp.asarray(valid)
+        cin, cout = 8, 16
+        feats = jnp.asarray(
+            rng.normal(size=(len(coords), cin)).astype(np.float32)
+        )
+        w = jnp.asarray(
+            rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+        )
+        rb = build_rulebook(cj, vj, 3, verify_coords=True)
+        plan = build_band_plan(rb, vj)
+        tgt = jnp.asarray(
+            rng.normal(size=(len(coords), cout)).astype(np.float32)
+        )
+
+        def loss_gather(f, w):
+            return jnp.sum((subm_conv_apply(f, w, rb, vj) - tgt) ** 2)
+
+        def loss_band(f, w):
+            return jnp.sum(
+                (band_subm_conv_apply(f, w, plan, vj) - tgt) ** 2
+            )
+
+        gf, gw = jax.grad(loss_gather, argnums=(0, 1))(feats, w)
+        bf_, bw = jax.grad(loss_band, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(
+            np.asarray(bf_), np.asarray(gf), rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(bw), np.asarray(gw), rtol=2e-3, atol=2e-3
+        )
+
     def test_bfloat16_close_to_f32(self, rng):
         coords, valid = lex_sorted_voxels(rng, m=300, cap=320)
         cj, vj = jnp.asarray(coords), jnp.asarray(valid)
