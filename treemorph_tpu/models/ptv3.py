@@ -853,7 +853,8 @@ class Embedding(nn.Module):
                         self.channels, dt,
                     )
                 x_u = subm_conv_apply(
-                    u_feat, w, rulebook, dedup.valid, compute_dtype=dt
+                    u_feat, w, rulebook, dedup.valid, compute_dtype=dt,
+                    needs_feats_grad=False,  # stem input is raw data
                 )
             x = _dedup_broadcast(x_u, dedup)
         else:
@@ -874,7 +875,8 @@ class Embedding(nn.Module):
                         self.channels, dt,
                     )
             x = subm_conv_apply(
-                ps.feat, w, rulebook, ps.valid, compute_dtype=dt
+                ps.feat, w, rulebook, ps.valid, compute_dtype=dt,
+                needs_feats_grad=False,  # stem input is raw data
             )
         x = _norm_bn(
             self.pdnorm, self.channels, "MaskedBatchNorm_0", x, ps.valid,

@@ -108,11 +108,17 @@ class MaskedBatchNorm(nn.Module):
 
 
 class SubMConv(nn.Module):
-    """Submanifold conv layer over a precomputed rulebook (no bias)."""
+    """Submanifold conv layer over a precomputed rulebook (no bias).
+
+    ``needs_feats_grad=False`` marks convs whose inputs are raw data
+    (the input/stem conv): the band engine's backward then skips the
+    fused d_feats+d_w kernel for the cheap DCE-friendly gather
+    formulation (the fused kernel cannot drop its d_feats half)."""
 
     out_channels: int
     kernel_size: int = 3
     conv_dtype: str = "float32"
+    needs_feats_grad: bool = True
 
     @nn.compact
     def __call__(self, feats, rulebook, valid):
@@ -123,6 +129,7 @@ class SubMConv(nn.Module):
         return subm_conv_apply(
             feats, w, rulebook, valid,
             compute_dtype=jnp.dtype(self.conv_dtype),
+            needs_feats_grad=self.needs_feats_grad,
         )
 
 
@@ -589,6 +596,7 @@ class TreeLearnBackbone(nn.Module):
                 self.channels,
                 self.kernel_size,
                 self.conv_dtype,
+                needs_feats_grad=False,  # voxel feats are raw data
                 name="input_conv",
             )(vox.voxel_feats, rulebook, v_valid)
         n_planes = [self.channels * (i + 1) for i in range(self.num_blocks)]

@@ -153,7 +153,12 @@ def build_band_plan(
     # row carries its rulebook restricted to just those entries, repaired
     # by a mini gather-conv in _band_impl. Worst level observed on 0.02 m
     # bench clouds: ~m/59 entries over fewer rows.
-    rcap = max(m // 16, 256)
+    # static residual capacity: every repair gather/matmul is sized by
+    # this, so the margin is paid on EVERY step — worst level observed
+    # on 0.02 m bench clouds carries ~m/59 violating ENTRIES (fewer
+    # rows), so m//32 keeps >2x headroom; overflow falls back to the
+    # exact gather engine (plan.ok), never wrong results
+    rcap = max(m // 32, 256)
     row_viol = jnp.any(viol, axis=(1, 2))  # (n_tiles, TILE)
     count = jnp.sum(row_viol)
     # fill rows use m-1 so the compacted list stays ascending (the repair
@@ -259,7 +264,7 @@ def _band_bwd_kernel(m, nsplit, ksize, win, blk, starts_ref, rb_ref, *rest):
     exact."""
     g = ksize * ksize
     gwins = rest[: nsplit * g]
-    fts = rest[nsplit * g : nsplit * g + nsplit]
+    fts = rest[nsplit * g : nsplit * g + nsplit]  # (Cin, TILE) transposed
     w_ref = rest[nsplit * g + nsplit]
     d_ref = rest[nsplit * g + nsplit + 1]
     dw_ref = rest[nsplit * g + nsplit + 2]
@@ -306,14 +311,15 @@ def _band_bwd_kernel(m, nsplit, ksize, win, blk, starts_ref, rb_ref, *rest):
             )
             # d_w accumulation: per-split sels are EXACT bf16 selections
             # (one-hot rows pick whole bf16 values), so contracting each
-            # against each feats split reproduces the hi/lo product
+            # against each feats split reproduces the hi/lo product.
+            # feats arrive pre-transposed (Cin, TILE) so this is a plain
+            # row-major MXU matmul, not a dim-0-contracting transpose.
             dwc = jnp.zeros((cin, width), jnp.float32)
             for sl in sels:
                 slb = sl.astype(jnp.bfloat16)
                 for s in range(nsplit):
-                    dwc += jax.lax.dot_general(
+                    dwc += jnp.dot(
                         fts[s][...], slb,
-                        (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
             dw_ref[kk] += dwc
@@ -325,7 +331,8 @@ def _band_bwd_padded(
     rb_tiles: jax.Array,  # (n_tiles, K, TILE)
     starts: jax.Array,  # (G, n_tiles)
     gparts: tuple[jax.Array, ...],  # nsplit x (Mp, Cout) bf16 grad parts
-    fparts: tuple[jax.Array, ...],  # nsplit x (Mp, Cin) bf16 feat parts
+    fparts: tuple[jax.Array, ...],  # nsplit x (Cin, Mp) bf16 feat parts,
+    # pre-TRANSPOSED so the kernel's d_w contraction is a plain matmul
     w_bwd: jax.Array,  # (K, Cout, Cin) flipped transposed kernel
     m: int,
     nsplit: int,
@@ -366,7 +373,7 @@ def _band_bwd_padded(
             )
             operands.append(gp)
     for fp in fparts:
-        in_specs.append(pl.BlockSpec((TILE, cin), lambda t, s: (t, 0)))
+        in_specs.append(pl.BlockSpec((cin, TILE), lambda t, s: (0, t)))
         operands.append(fp)
     in_specs.append(
         pl.BlockSpec((k, blk * cout, cin), lambda t, s: (0, 0, 0))
@@ -563,6 +570,7 @@ def band_subm_conv_apply(
     plan: BandPlan,
     valid: jax.Array,
     compute_dtype=None,
+    needs_feats_grad: bool = True,
 ) -> jax.Array:
     """Submanifold conv on the banded engine; same weights layout as
     :func:`treemorph_tpu.ops.sparse.subm_conv_apply` (engine-
@@ -584,13 +592,14 @@ def band_subm_conv_apply(
     return _band_conv_vjp(
         plan.ok, plan.rulebook, plan.rb_tiles, plan.starts,
         plan.res_rows, plan.res_rb, plan.res_valid,
-        plan.wmark, nsplit, feats, weights, valid,
+        plan.wmark, nsplit, needs_feats_grad, feats, weights, valid,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8,))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _band_conv_vjp(ok, rulebook, rb_tiles, starts, res_rows, res_rb,
-                   res_valid, wmark, nsplit, feats, weights, valid):
+                   res_valid, wmark, nsplit, needs_fg, feats, weights,
+                   valid):
     plan = BandPlan(
         rulebook, rb_tiles, starts, ok, valid,
         res_rows, res_rb, res_valid, wmark,
@@ -608,10 +617,11 @@ def _band_conv_vjp(ok, rulebook, rb_tiles, starts, res_rows, res_rb,
 
 
 def _band_conv_fwd(ok, rulebook, rb_tiles, starts, res_rows, res_rb,
-                   res_valid, wmark, nsplit, feats, weights, valid):
+                   res_valid, wmark, nsplit, needs_fg, feats, weights,
+                   valid):
     out = _band_conv_vjp(
         ok, rulebook, rb_tiles, starts, res_rows, res_rb, res_valid,
-        wmark, nsplit, feats, weights, valid,
+        wmark, nsplit, needs_fg, feats, weights, valid,
     )
     return out, (
         ok, rulebook, rb_tiles, starts, res_rows, res_rb, res_valid,
@@ -619,7 +629,7 @@ def _band_conv_fwd(ok, rulebook, rb_tiles, starts, res_rows, res_rb,
     )
 
 
-def _band_conv_bwd(nsplit, res, g):
+def _band_conv_bwd(nsplit, needs_fg, res, g):
     """Fused banded backward: ONE kernel pass over the gradient windows
     yields both cotangents (see :func:`_band_bwd_kernel`); the residual
     (out-of-window) entries are repaired by one shared (R, K) gather
@@ -654,7 +664,7 @@ def _band_conv_bwd(nsplit, res, g):
             for p in _split_bf16(g_m, nsplit)
         )
         fparts = tuple(
-            jnp.concatenate([p, fpad], axis=0)
+            jnp.concatenate([p, fpad], axis=0).T
             for p in _split_bf16(feats_m, nsplit)
         )
         d_f, dw = _band_bwd_padded(
@@ -675,11 +685,14 @@ def _band_conv_bwd(nsplit, res, g):
         )
         d_f = d_f.at[res_rows].add(d_f_res, indices_are_sorted=True)
         f_res = feats_m[res_rows] * res_valid[:, None]  # (R, Cin)
-        # d_w[K-1-j] += feats[r] (x) g[res_rb[r, j]] over residual entries
+        # d_w[K-1-j] += feats[r] (x) g[res_rb[r, j]] over residual
+        # entries — contracted as ONE (K*Cout, R) x (R, Cin) matmul
+        # (the (R,K,O)x(R,I) batched dot_general lowered as a slow
+        # per-offset loop fused into the gather)
         dw_res = jax.lax.dot_general(
-            gath, f_res, (((0,), (0,)), ((), ())),
+            gath.reshape(-1, k * cout), f_res, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (K, Cout, Cin)
+        ).reshape(k, cout, cin)
         dw = dw + dw_res.swapaxes(1, 2)[::-1]
         return d_f * valid[:, None], dw
 
@@ -700,7 +713,14 @@ def _band_conv_bwd(nsplit, res, g):
             )
         return d_f, jnp.stack(d_w)
 
-    if fits:
+    if not needs_fg:
+        # the caller declared d_feats unused (e.g. input/stem convs on
+        # raw data): the gather path's d_feats is separate DCE-able XLA
+        # ops, and its d_w gathers over a narrow Cin are cheap — the
+        # fused kernel would force a useless d_feats computation inside
+        # an un-DCE-able pallas_call
+        d_feats, d_weights = gather_path(feats_m, g_m, weights)
+    elif fits:
         d_feats, d_weights = jax.lax.cond(
             ok, band_path, gather_path, feats_m, g_m, weights
         )

@@ -584,6 +584,7 @@ def subm_conv_apply(
     rulebook: jax.Array,  # (M, K) with M = missing
     valid: jax.Array,  # (M,)
     compute_dtype=None,
+    needs_feats_grad: bool = True,
 ) -> jax.Array:
     """Submanifold conv: out[i] = sum_k W[k] @ feats[nbr_k(i)].
 
@@ -624,7 +625,8 @@ def subm_conv_apply(
         )
     if isinstance(rulebook, BandPlan):
         return band_subm_conv_apply(
-            feats, weights, rulebook, valid, compute_dtype=dtype
+            feats, weights, rulebook, valid, compute_dtype=dtype,
+            needs_feats_grad=needs_feats_grad,
         )
     return _subm_conv(dtype, feats, weights, rulebook, valid)
 
