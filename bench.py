@@ -405,8 +405,38 @@ def _bench_train_step(engine: str = "band", conv_dtype: str = "bfloat16",
         state, metrics = train_step(state, batch, lr, keys[i])
     float(metrics["loss"])
     step_seconds = (time.perf_counter() - t0) / iters
+
+    # device time per step (profiler module spans): the wall number
+    # above carries the tunnel's per-execute dispatch gap, which is
+    # measurement environment, not engine cost — report both
+    dev_ms = None
+    try:
+        import shutil
+        import tempfile
+
+        from treemorph_tpu.utils.flops import _trace_device_ms
+
+        tdir = tempfile.mkdtemp(prefix="train_trace_")
+        try:
+            with jax.profiler.trace(tdir):
+                for i in range(3):
+                    state, metrics = train_step(
+                        state, batch, lr, keys[i % iters]
+                    )
+                jax.block_until_ready(metrics["loss"])
+            dev_ms = _trace_device_ms(tdir, 3)
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+    except Exception:  # noqa: BLE001 - diagnostic only
+        dev_ms = None
+    extra = (
+        {"treelearn_train_device_seconds": round(dev_ms / 1e3, 4)}
+        if dev_ms and np.isfinite(dev_ms)
+        else {}
+    )
     return {
         "treelearn_train_step_seconds": round(step_seconds, 4),
+        **extra,
         "treelearn_train_points_per_sec": round(
             trees * n_points / step_seconds, 1
         ),

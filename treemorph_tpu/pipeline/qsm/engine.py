@@ -182,6 +182,17 @@ def cluster_points_priority(
     heapq.heappush(pq, (-initial_spread, next(tiebreak), initial_sphere))
     grown = False
 
+    # Index-based bookkeeping: the reference formulation materializes
+    # several full-cloud boolean arrays per sphere pop (copy, ==, &,
+    # sum) — at 1M+ points over thousands of pops that WAS the
+    # dominant fit cost. ``unsegmented_mask`` is only mutated at the
+    # END of a pop, so inside one it doubles as the reference's
+    # ``available`` snapshot, and every set operation below works on
+    # the small local index arrays instead. ``in_pop`` is a reusable
+    # scratch mask marking this pop's assignments (reset by index).
+    in_pop = np.zeros_like(unsegmented_mask)
+    first_pop = True
+
     while pq:
         neg_priority, _, sphere = heapq.heappop(pq)
         parent_score = -neg_priority
@@ -194,7 +205,7 @@ def cluster_points_priority(
                 parent_score,
             )
 
-        available = unsegmented_mask.copy()
+        available = unsegmented_mask
         candidates = get_candidate_centers_and_spreads(
             sphere,
             points,
@@ -212,12 +223,14 @@ def cluster_points_priority(
             if params.segmentation_type == "sphere":
                 unsegmented_mask &= segmentation_ids == -1
             current_id += 1
+            first_pop = False
             continue
 
         parent_spread = sphere.spread if sphere.spread is not None else 0.05
         lower = parent_spread * params.min_spread_growth
         upper = parent_spread * params.max_spread_growth
         made_child = False
+        pop_idx: list[np.ndarray] = []  # this pop's newly-assigned rows
 
         centers = np.array([c for c, _ in candidates])
         spreads = np.array([s for _, s in candidates])
@@ -257,16 +270,16 @@ def cluster_points_priority(
                 continue
 
             child.assign_points(points, available, point_tree)
-            contained = np.zeros_like(unsegmented_mask)
-            if child.contained_points.size:
-                contained[child.contained_points] = True
-            new_points = contained & available
-            if new_points.sum() < params.min_points_threshold:
+            cand = child.contained_points
+            idx_new = cand[available[cand]] if cand.size else cand
+            if idx_new.size < params.min_points_threshold:
                 continue
 
             grown = True
             made_child = True
-            segmentation_ids[new_points] = current_id
+            segmentation_ids[idx_new] = current_id
+            in_pop[idx_new] = True
+            pop_idx.append(idx_new)
             cluster.add_sphere(child)
             tracker.add_cylinder(sphere, child, child.spread)
 
@@ -278,26 +291,48 @@ def cluster_points_priority(
             heapq.heappush(pq, (-score, next(tiebreak), child))
 
         # segmentation update after processing all candidates (:1372-1422)
-        assigned_now = segmentation_ids == current_id
-        new_by_sphere = assigned_now & available
+        # — index form of: assigned_now & available, the cylinder
+        # proximity sweep over (available & ~new_by_sphere), and the
+        # final unsegmented &= ~(new_by_sphere | removed_by_cyl)
+        if first_pop:
+            # the initial sphere's points carry this current_id too
+            # (assigned before the loop) and are removed by the first
+            # pop's update in the reference formulation
+            init_idx = initial_sphere.contained_points
+            if init_idx.size:
+                init_live = init_idx[available[init_idx]]
+                in_pop[init_live] = True
+                pop_idx.append(init_live)
         if params.segmentation_type == "cylinder":
-            removed_by_cyl = np.zeros_like(unsegmented_mask)
+            removed_idx = None
             if made_child and tracker.recent_cylinders:
-                check = available & ~new_by_sphere
-                if check.any():
-                    updated = cylinder_proximity_segmentation(
-                        points,
-                        check,
-                        sphere,
-                        tracker.recent_cylinders,
-                        point_tree,
-                        params.eps_cylinder,
-                    )
-                    removed_by_cyl = check & ~updated
+                cyls = tracker.recent_cylinders
+                local = point_tree.query_ball_point(
+                    sphere.center, sphere.radius * 3
+                )
+                if local:
+                    local = np.asarray(local, int)
+                    check = local[available[local] & ~in_pop[local]]
+                    if check.size:
+                        from ...ops.projection import closest_cylinder_host
+
+                        _, dists, _ = closest_cylinder_host(
+                            points[check, :3].astype(np.float32),
+                            np.array([c.start for c in cyls], np.float32),
+                            np.array([c.end for c in cyls], np.float32),
+                            np.array([c.radius for c in cyls], np.float32),
+                        )
+                        removed_idx = check[dists < params.eps_cylinder]
                 tracker.recent_cylinders = []
-            unsegmented_mask &= ~(new_by_sphere | removed_by_cyl)
+            for idx in pop_idx:
+                unsegmented_mask[idx] = False
+            if removed_idx is not None and removed_idx.size:
+                unsegmented_mask[removed_idx] = False
         else:
             unsegmented_mask &= segmentation_ids == -1
+        for idx in pop_idx:
+            in_pop[idx] = False
+        first_pop = False
         current_id += 1
 
     if not grown and params.segmentation_type == "cylinder":
