@@ -439,39 +439,47 @@ def find_best_merge_connection(
             dists - (radii_main[:, None] + radii_branch[None]), 0.0
         )
 
-    pairs = np.nonzero(dists < max_dist)
-    if pairs[0].size == 0:
+    pi, pj = np.nonzero(dists < max_dist)
+    if pi.size == 0:
         return None
 
-    best = None
-    for i_main, i_branch in zip(*pairs):
-        conn = centers_main[i_main] - centers_branch[i_branch]
-        norm = np.linalg.norm(conn)
-        if norm < 1e-9:
-            continue
-        if (
-            not outer_main[i_main].connection_vectors
-            and not outer_branch[i_branch].connection_vectors
-        ):
-            continue
-        conn_unit = conn / norm
-        # Branch's average connection vector points INTO the branch; invert.
-        branch_avg = -outer_branch[i_branch].average_connection_vector()
-        if np.linalg.norm(branch_avg) < 1e-9:
-            branch_avg = outer_main[i_main].average_connection_vector()
-        if np.linalg.norm(branch_avg) < 1e-9:
-            angle = 0.0
-        else:
-            angle = float(
-                np.degrees(
-                    np.arccos(np.clip(branch_avg @ conn_unit, -1, 1))
-                )
-            )
-        if angle < angle_threshold_degrees:
-            d = dists[i_main, i_branch]
-            if best is None or d < best[2]:
-                best = (int(i_main), int(i_branch), float(d), angle)
-    return best
+    # vectorized over candidate pairs (the reference walks them in a
+    # python loop; at tens of thousands of calls per fit the per-pair
+    # numpy overhead dominated the merge phase) — selection semantics
+    # identical: first strictly-smallest distance in row-major order
+    conn = centers_main[pi] - centers_branch[pj]  # (P, 3)
+    norms = np.linalg.norm(conn, axis=1)
+    has_main = np.array(
+        [bool(s.connection_vectors) for s in outer_main], bool
+    )
+    has_branch = np.array(
+        [bool(s.connection_vectors) for s in outer_branch], bool
+    )
+    valid = (norms >= 1e-9) & (has_main[pi] | has_branch[pj])
+    if not valid.any():
+        return None
+    avg_main = np.array(
+        [s.average_connection_vector() for s in outer_main]
+    )
+    avg_branch = np.array(
+        [s.average_connection_vector() for s in outer_branch]
+    )
+    conn_unit = conn / np.maximum(norms, 1e-12)[:, None]
+    # Branch's average connection vector points INTO the branch; invert.
+    branch_avg = -avg_branch[pj]
+    use_main = np.linalg.norm(branch_avg, axis=1) < 1e-9
+    branch_avg = np.where(use_main[:, None], avg_main[pi], branch_avg)
+    degenerate = np.linalg.norm(branch_avg, axis=1) < 1e-9
+    cosang = np.clip(np.sum(branch_avg * conn_unit, axis=1), -1, 1)
+    angle = np.degrees(np.arccos(cosang))
+    angle = np.where(degenerate, 0.0, angle)
+    valid &= angle < angle_threshold_degrees
+    if not valid.any():
+        return None
+    d = dists[pi, pj]
+    cand = np.nonzero(valid)[0]
+    k = cand[np.argmin(d[cand])]
+    return (int(pi[k]), int(pj[k]), float(d[k]), float(angle[k]))
 
 
 def connect_branch_to_main(
