@@ -458,12 +458,15 @@ def find_best_merge_connection(
     valid = (norms >= 1e-9) & (has_main[pi] | has_branch[pj])
     if not valid.any():
         return None
-    avg_main = np.array(
-        [s.average_connection_vector() for s in outer_main]
-    )
-    avg_branch = np.array(
-        [s.average_connection_vector() for s in outer_branch]
-    )
+    # average vectors only for spheres actually appearing in a valid
+    # pair (computing them for every outer sphere per call regressed
+    # the merge phase)
+    avg_main = np.zeros((len(outer_main), 3))
+    for i in np.unique(pi[valid]):
+        avg_main[i] = outer_main[i].average_connection_vector()
+    avg_branch = np.zeros((len(outer_branch), 3))
+    for j in np.unique(pj[valid]):
+        avg_branch[j] = outer_branch[j].average_connection_vector()
     conn_unit = conn / np.maximum(norms, 1e-12)[:, None]
     # Branch's average connection vector points INTO the branch; invert.
     branch_avg = -avg_branch[pj]

@@ -37,6 +37,7 @@ class Sphere:
         "first_cylinder_id",
         "connected_cylinder_ids",
         "connection_vectors",
+        "_avg_cache",
     )
 
     def __init__(
@@ -91,12 +92,20 @@ class Sphere:
         self.outer_points = local[outer]
 
     def average_connection_vector(self) -> np.ndarray:
-        if self.connection_vectors:
+        # memoized by list length: vectors are only ever appended, so
+        # the length identifies the state (hot in the merge scans)
+        n_vecs = len(self.connection_vectors)
+        cached = getattr(self, "_avg_cache", None)
+        if cached is not None and cached[0] == n_vecs:
+            return cached[1]
+        if n_vecs:
             avg = np.mean(self.connection_vectors, axis=0)
             n = np.linalg.norm(avg)
-            if n > 1e-9:
-                return avg / n
-        return np.zeros(3)
+            out = avg / n if n > 1e-9 else np.zeros(3)
+        else:
+            out = np.zeros(3)
+        self._avg_cache = (n_vecs, out)
+        return out
 
 
 class SphereCluster:
