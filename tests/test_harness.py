@@ -131,6 +131,9 @@ class TestHarness:
             return loss, {}
 
         step = make_train_step(forward_fn, loss_fn, tx, fixed_modules=fixed)
+        # the train step donates the carried state, so snapshot the
+        # initial params/stats host-side before they are consumed
+        state = jax.device_get(state)
         new_state = state
         for _ in range(3):
             new_state, _ = step(
