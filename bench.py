@@ -199,6 +199,42 @@ def main(n_devices: int = 1, treelearn_engine: str = "band",
     ]
     dt = min(tl_trials)
 
+    # one-row engine A/B in the artifact (VERDICT r4 #4): the gather
+    # engine on the IDENTICAL workload, so a band-engine regression is
+    # distinguishable from host contention in the same JSON. Guarded:
+    # its failure must not lose the headline metrics.
+    ab = {}
+    if n_devices == 1:
+        try:
+            gmodel = TreeLearn(
+                channels=32, num_blocks=3, dim_feat=4, voxel_size=0.02,
+                batch_size=b, voxel_capacity_divisor=5,
+                engine="gather", conv_dtype=treelearn_conv_dtype,
+            )
+            gvars = jax.jit(
+                lambda r, c, f, bi, v: gmodel.init(
+                    r, c, f, bi, v, train=False
+                )
+            )(jax.random.key(0), coords, feats, batch_ids, valid)
+            gfwd = jax.jit(
+                lambda v, c, f, bi, vl: gmodel.apply(
+                    v, c, f, bi, vl, train=False
+                )["offset_predictions"]
+            )
+            np.asarray(gfwd(gvars, coords, feats, batch_ids, valid))
+            gtrials = [
+                _time_trial(gfwd, iters, gvars, coords, feats,
+                            batch_ids, valid)
+                for _ in range(3)
+            ]
+            ab = {
+                "treelearn_ab_gather_points_per_sec": round(
+                    b * n * iters / min(gtrials), 1
+                ),
+            }
+        except Exception as e:  # noqa: BLE001
+            ab = {"treelearn_ab_error": f"{type(e).__name__}: {e}"[:160]}
+
     points_per_sec = b * n * iters / dt
 
     # roofline accounting (VERDICT r4 missing #1): analytic FLOPs
@@ -291,6 +327,7 @@ def main(n_devices: int = 1, treelearn_engine: str = "band",
                     ptv3_points_per_sec / ptv3_reference_pps, 3
                 ),
                 **ptv3_extra,
+                **ab,
                 "qsm_fit_seconds_48k_points": round(qsm_seconds, 2),
                 "qsm_vs_reference_fit": round(4.1 / qsm_seconds, 2),
                 **e2e,
